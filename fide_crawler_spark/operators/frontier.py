@@ -1,0 +1,118 @@
+"""Frontier generation, canonicalization, admission, priority.
+
+Reference behavior (cites into /root/reference/):
+
+* month-walk URL generation — while-loop ``+= relativedelta(months=1)``
+  building one calc-table URL per (player, month),
+  ``data_processing/data_fetching_processing.py:125-138``.  Spark form:
+  ``sequence(start, end, interval 1 month)`` + ``explode`` (SURVEY H9) —
+  generation itself is distributed, no driver loop.
+* URL canonicalization — ``re.search(r'/profile/(\\d+)', url)``
+  (``:64-65``); admission filter ``'profile' in url and 'news' not in
+  url`` (``:68``).
+* crawl order — sequential list order: player in seed order, month
+  ascending (``:136-140``).  Realized as a windowed rank (north-rule
+  priority queue) over (host_rank, depth, recrawl_age desc, seed_pos,
+  period): order is data, not execution.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+FRONTIER_COLS = [
+    "url", "url_hash", "host", "fide_id", "period", "depth", "host_rank",
+    "recrawl_age", "seed_pos", "status", "retry_count", "epoch",
+]
+
+
+def generate_frontier(
+    seeds: DataFrame,
+    start: str,
+    end: str,
+    host: str = "ratings.fide.com",
+) -> DataFrame:
+    """seeds(fide_id, seed_pos[, host_rank]) × month range → frontier rows.
+
+    The month sequence is built with ``sequence + explode`` so a
+    10^10-row frontier (10^7 players × 10^3 periods) is generated
+    executor-side from a small seed table — the driver never holds it.
+    """
+    if "host_rank" not in seeds.columns:
+        seeds = seeds.withColumn("host_rank", F.lit(0))
+    months = F.explode(
+        F.sequence(
+            F.trunc(F.to_date(F.lit(start)), "month"),
+            F.trunc(F.to_date(F.lit(end)), "month"),
+            F.expr("interval 1 month"),
+        )
+    ).alias("period")
+    url = F.format_string(
+        "https://%s/a_indv_calculations.php?id_number=%s&rating_period=%s&t=0",
+        F.lit(host),
+        F.col("fide_id"),
+        F.date_format("period", "yyyy-MM-dd"),
+    )
+    return (
+        seeds.select("fide_id", "seed_pos", "host_rank", months)
+        .select(
+            url.alias("url"),
+            F.xxhash64(url).alias("url_hash"),
+            F.lit(host).alias("host"),
+            "fide_id",
+            "period",
+            F.lit(2).alias("depth"),
+            "host_rank",
+            F.lit(0).alias("recrawl_age"),
+            "seed_pos",
+            F.lit("pending").alias("status"),
+            F.lit(0).alias("retry_count"),
+            F.lit(-1).alias("epoch"),
+        )
+    )
+
+
+def canonicalize_profile_urls(urls: DataFrame, url_col: str = "url") -> DataFrame:
+    """Seed-search admission + canonicalization (B10 + H1).
+
+    Keeps URLs matching the reference's filter and rewrites them to the
+    canonical profile form keyed by the extracted numeric id.
+    """
+    admitted = urls.filter(
+        F.col(url_col).contains("profile") & ~F.col(url_col).contains("news")
+    )
+    fide_id = F.regexp_extract(F.col(url_col), r"/profile/(\d+)", 1)
+    return admitted.select(
+        fide_id.alias("fide_id"),
+        F.concat(F.lit("https://ratings.fide.com/profile/"), fide_id).alias("url"),
+    ).filter(F.col("fide_id") != "")
+
+
+def priority_order() -> list:
+    """Total priority order: the north-rule (host_rank, depth,
+    recrawl_age) tuple, then the reference's (seed_pos, period) crawl
+    order, with ``url`` as the final tie-break so the order is total →
+    deterministic under any parallelism."""
+    return [
+        F.col("host_rank").asc(),
+        F.col("depth").asc(),
+        F.col("recrawl_age").desc(),
+        F.col("seed_pos").asc(),
+        F.col("period").asc(),
+        F.col("url").asc(),
+    ]
+
+
+def with_priority_rank(frontier: DataFrame) -> DataFrame:
+    """North-rule priority queue (SURVEY W3): windowed rank over the
+    frontier.  The unpartitioned window is intentional — the *semantic*
+    is a single global queue — but the dequeue never materializes a
+    global sort of 10^10 rows: the scheduler caps per-host first
+    (politeness.py two-phase top-k), so only ~budget×hosts rows reach
+    this rank.  For a pure top-k dequeue Spark plans
+    ``orderBy().limit(k)`` as TakeOrderedAndProject (no full sort).
+    """
+    return frontier.withColumn(
+        "rank", F.row_number().over(Window.orderBy(*priority_order()))
+    )

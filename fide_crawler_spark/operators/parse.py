@@ -1,0 +1,165 @@
+"""Parse operators: page → interleaved spans → typed game_history.
+
+Reference behavior being reproduced (all cites into /root/reference/):
+
+* page → ordered spans: BeautifulSoup selectors over the calc table,
+  ``data_processing/data_fetching_processing.py:148-194`` — text cells
+  in document order interleaved with ``<img>`` color-icon media refs
+  (``:159-162``).  Emission order is the byte-for-byte invariant.
+* all-null limiter rows split the page into tournament blocks
+  (``:154-155``); fixed offsets relative to the limiter give tournament
+  name/date/rating (``:167-169``); the positional slice ``iloc[l+1:n-3]``
+  selects game rows (``:170-173``).
+
+Spark-first design: the *string* parse is a vectorized ``mapInPandas``
+stage (1 page → N span rows, UDTF-shaped); everything *after* spans is
+pure relational — block ids via a running-sum window (SURVEY W4),
+positional slices via ``row_number`` within block (B11), fixed-offset
+extraction via ``first(when(rn==k, ...))`` (G9), reassembly via
+``array_sort(collect_list(struct(...)))`` (W5).  No per-row Python past
+the Arrow batch boundary.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from fide_crawler_spark.fixtures import parse_page
+
+SPANS_SCHEMA = (
+    "doc_id string, spans array<struct<kind:string,text:string,"
+    "media_ref:string,offset:int>>"
+)
+
+
+def parse_stage(fetched: DataFrame) -> DataFrame:
+    """(url, status, page) → (doc_id, spans) for successfully fetched pages.
+
+    UDTF-shaped mapInPandas (iterator of pdf → iterator of pdf), the
+    Spark surface for ``scrapePlayerGamesHistory``
+    (data_fetching_processing.py:122-205).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ok = pdf[pdf["status"] == "fetched"]
+            if not len(ok):
+                continue
+            spans = [
+                [
+                    {"kind": k, "text": t, "media_ref": m, "offset": o}
+                    for (k, t, m, o) in parse_page(page)
+                ]
+                for page in ok["page"]
+            ]
+            yield pd.DataFrame({"doc_id": ok["url"].values, "spans": spans})
+
+    return fetched.mapInPandas(run, schema=SPANS_SCHEMA)
+
+
+def explode_spans(docs: DataFrame) -> DataFrame:
+    """(doc_id, spans) → flat (doc_id, kind, text, media_ref, offset)."""
+    return docs.select(
+        "doc_id", F.explode("spans").alias("s")
+    ).select(
+        "doc_id",
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+        F.col("s.offset").alias("offset"),
+    )
+
+
+def reassemble_spans(flat: DataFrame) -> DataFrame:
+    """Inverse of explode_spans — order restored from the offset column
+    (order is a data property, not an execution property; SURVEY §7
+    hard part (a)).
+    """
+    ordered = F.transform(
+        F.array_sort(
+            F.collect_list(F.struct("offset", "kind", "text", "media_ref"))
+        ),
+        lambda x: F.struct(
+            x["kind"].alias("kind"),
+            x["text"].alias("text"),
+            x["media_ref"].alias("media_ref"),
+            x["offset"].alias("offset"),
+        ),
+    )
+    return flat.groupBy("doc_id").agg(ordered.alias("spans"))
+
+
+def game_history_view(docs: DataFrame) -> DataFrame:
+    """Relational spans → typed game_history (FIXTURES.md §3).
+
+    Pipeline (single pass over exploded spans, two window shuffles both
+    partitioned by doc_id so they share one exchange):
+
+    1. block id = running count of empty-text delimiter spans
+       (W4: ``sum(when(is_delim,1)) over (partition doc_id order offset)``).
+    2. within each block, text spans get ``rn`` — rows 1..4 are
+       header+meta (tournament, date, country, player rating); rows ≥5
+       are games (B11 positional slice, G9 fixed-offset extraction).
+    3. game color comes from the media span at ``offset+1``
+       (data_fetching_processing.py:159-162) — an equi-join on
+       (doc_id, offset), co-partitioned with the windows.
+    4. tab-joined game fields split + typed (H2-H5: regexp digit strip,
+       try_cast-style coercion via cast which nulls on failure).
+    """
+    flat = explode_spans(docs)
+    w_doc = Window.partitionBy("doc_id").orderBy("offset")
+    is_delim = (F.col("kind") == "text") & (F.col("text") == "")
+    blocked = flat.withColumn(
+        "block_id",
+        F.sum(F.when(is_delim, 1).otherwise(0)).over(
+            w_doc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    ).filter(~is_delim)
+
+    texts = blocked.filter(F.col("kind") == "text").withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("doc_id", "block_id").orderBy("offset")
+        ),
+    )
+    w_blk = Window.partitionBy("doc_id", "block_id")
+    meta = (
+        texts.withColumn("tournament_name", F.first(F.when(F.col("rn") == 1, F.col("text")), ignorenulls=True).over(w_blk))
+        .withColumn("date", F.first(F.when(F.col("rn") == 2, F.col("text")), ignorenulls=True).over(w_blk))
+        .withColumn("country", F.first(F.when(F.col("rn") == 3, F.col("text")), ignorenulls=True).over(w_blk))
+        .withColumn("player_rating", F.first(F.when(F.col("rn") == 4, F.col("text")), ignorenulls=True).over(w_blk))
+    )
+    games = meta.filter(F.col("rn") >= 5)
+
+    media = blocked.filter(F.col("kind") == "media").select(
+        "doc_id",
+        (F.col("offset") - 1).alias("offset"),
+        F.when(F.col("media_ref").contains("clr_wh"), "white")
+        .otherwise("black")
+        .alias("player_color"),
+    )
+    games = games.join(media, ["doc_id", "offset"], "left")
+
+    f = F.split(F.col("text"), "\t")
+    return games.select(
+        F.col("doc_id"),
+        F.regexp_extract("doc_id", r"id_number=(\d+)", 1).alias("fide_id"),
+        F.to_date("date", "yyyy-MM-dd").alias("date"),
+        F.col("tournament_name"),
+        F.col("country"),
+        F.regexp_replace("player_rating", r"\D", "").cast("int").alias("player_rating"),
+        F.col("player_color"),
+        f.getItem(0).alias("opponent_name"),
+        f.getItem(1).alias("opponent_country"),
+        F.regexp_replace(f.getItem(2), r"\D", "").cast("int").alias("opponent_rating"),
+        f.getItem(3).cast("double").alias("result"),
+        f.getItem(4).cast("double").alias("chg"),
+        f.getItem(5).cast("int").alias("k"),
+        f.getItem(6).cast("double").alias("k_chg"),
+        F.col("block_id"),
+        F.col("offset"),
+    )

@@ -1,0 +1,234 @@
+"""Epoch-loop crawl scheduler over snapshot tables.
+
+Reference behavior being reproduced
+(``/root/reference/data_processing/data_fetching_processing.py``):
+
+* sequential fetch loop in list order (``:140``) → per-epoch dequeue of
+  the top-priority frontier rows (player seed order, month ascending —
+  the priority columns make the reference's order a sort key);
+* cache-aware gap analysis — months already fetched are never refetched
+  (``:216-234``) → Bloom pre-pass + exact anti-join vs the URL-seen set;
+* swallow-and-skip errors (``:195-196``) + ``@retry``
+  (``old_scripts/fide-games-scraper-public.py:48``) → failed rows stay
+  pending with ``retry_count + 1``;
+* per-crawl SQLite commit (``:236``) → atomic snapshot per epoch of
+  {frontier, documents, Bloom state, lineage/metrics}: a killed job
+  resumes from the latest manifest with identical final output
+  (test_scheduler.py::test_resume).
+
+Each epoch is one batch pipeline — dequeue → fetch (mapInPandas) →
+parse → append — i.e. the ``foreachBatch`` shape of Structured
+Streaming realized as a driver loop over snapshots (SURVEY §2.I):
+simpler, and snapshot commits give exactly-once semantics for free.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fide_crawler_spark.operators.frontier import with_priority_rank
+from fide_crawler_spark.operators.parse import parse_stage
+from fide_crawler_spark.operators.politeness import politeness_cap
+from fide_crawler_spark.operators.urlseen import (
+    PartitionedBloom,
+    build_bloom,
+    filter_unseen,
+)
+from fide_crawler_spark.sources.fetcher import fetch_stage
+from fide_crawler_spark.sources.snapshot import SnapshotTable
+
+BLOOM_STATE = "urlseen-bloom.bin"
+
+
+class CrawlJob:
+    """Resumable crawl over a frontier snapshot table.
+
+    ``workdir/frontier`` — frontier state, one overwrite snapshot per
+    epoch (real Iceberg would MERGE and rewrite only touched files; the
+    frontier is partitionable by ``period`` so touched-file rewrite
+    prunes to the months actually dequeued).
+    ``workdir/documents`` — parsed span docs, append snapshots.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        workdir: str,
+        budget_per_host: int = 64,
+        n_salts: int = 8,
+        fetch_mode: str = "synthetic",
+        bloom_bits_per_part: int = 1 << 20,
+        bloom_parts: int = 8,
+    ):
+        self.spark = spark
+        self.workdir = workdir
+        self.budget = budget_per_host
+        self.n_salts = n_salts
+        self.fetch_mode = fetch_mode
+        self.bloom_parts = bloom_parts
+        self.bloom_bits = bloom_bits_per_part
+        self.frontier_tbl = SnapshotTable(os.path.join(workdir, "frontier"))
+        self.docs_tbl = SnapshotTable(os.path.join(workdir, "documents"))
+
+    # -- lifecycle ---------------------------------------------------------
+    def init(self, frontier: DataFrame) -> None:
+        """Epoch -1 snapshot: full pending frontier + empty Bloom."""
+        if self.frontier_tbl.latest() is not None:
+            return  # already initialized — resume instead
+        if "url_hash" not in frontier.columns:
+            frontier = frontier.withColumn("url_hash", F.xxhash64("url"))
+        bloom = PartitionedBloom(self.bloom_parts, self.bloom_bits)
+        self.frontier_tbl.commit(
+            frontier,
+            metrics={"epoch": -1, "pending": frontier.count()},
+            state={BLOOM_STATE: bloom.to_bytes()},
+        )
+
+    def epoch(self) -> int:
+        return int(self.frontier_tbl.manifest()["metrics"]["epoch"])
+
+    def pending_count(self) -> int:
+        return int(self.frontier_tbl.manifest()["metrics"]["pending"])
+
+    # -- one epoch -----------------------------------------------------------
+    def run_epoch(self) -> dict:
+        spark = self.spark
+        e = self.epoch() + 1
+        frontier = self.frontier_tbl.read(spark)
+        pending = frontier.filter(F.col("status") == "pending")
+
+        # URL-seen: Bloom pre-pass over fetched set, exact anti-join backstop
+        bloom = PartitionedBloom.from_bytes(self.frontier_tbl.state(BLOOM_STATE))
+        seen = frontier.filter(F.col("status") == "fetched")
+        candidates = filter_unseen(spark, pending, seen, bloom)
+
+        # politeness budget per host (skew-salted), then global priority rank
+        capped = politeness_cap(candidates, self.budget, self.n_salts)
+        batch = with_priority_rank(capped).persist()
+        n_batch = batch.count()
+        if n_batch == 0:
+            batch.unpersist()
+            return {"epoch": e, "dequeued": 0, "done": True}
+
+        # fetch → parse; attach crawl-order + lineage columns
+        fetched = fetch_stage(batch, mode=self.fetch_mode).persist()
+        docs = parse_stage(fetched)
+        meta = batch.select(
+            "url", "url_hash", "fide_id", "period", "seed_pos", "rank"
+        )
+        docs = (
+            docs.join(meta, docs.doc_id == meta.url, "inner")
+            .drop("url")
+            .withColumn("epoch", F.lit(e))
+            .withColumn("crawl_rank", F.col("rank"))
+            .drop("rank")
+        )
+
+        # frontier state transition: fetched / failed(retry++) / untouched
+        outcome = fetched.select("url", F.col("status").alias("_new_status"))
+        new_frontier = (
+            frontier.join(outcome, "url", "left")
+            .withColumn(
+                "retry_count",
+                F.when(F.col("_new_status") == "failed", F.col("retry_count") + 1)
+                .otherwise(F.col("retry_count")),
+            )
+            .withColumn(
+                "status",
+                F.when(F.col("_new_status") == "fetched", F.lit("fetched"))
+                .otherwise(F.col("status")),
+            )
+            .withColumn(
+                "epoch",
+                F.when(F.col("_new_status") == "fetched", F.lit(e))
+                .otherwise(F.col("epoch")),
+            )
+            .drop("_new_status")
+        )
+
+        # Bloom maintenance: distributed partial build over this epoch's
+        # fetched hashes, OR-merged into the running filter
+        ok_urls = fetched.filter(F.col("status") == "fetched").select("url")
+        epoch_hashes = ok_urls.select(F.xxhash64("url").alias("url_hash"))
+        epoch_bloom = build_bloom(
+            epoch_hashes, "url_hash", self.bloom_parts, self.bloom_bits
+        )
+        bloom.merge(epoch_bloom)
+
+        # per-partition lineage (north rule: lineage + metrics per epoch)
+        lineage = [
+            {"partition": int(r["pid"]), "docs": int(r["n"])}
+            for r in docs.groupBy(F.spark_partition_id().alias("pid"))
+            .count().withColumnRenamed("count", "n").collect()
+        ]
+        n_fetched = fetched.filter(F.col("status") == "fetched").count()
+        n_failed = n_batch - n_fetched
+
+        # commit point: documents append first, then frontier+bloom.
+        # A crash between the two re-fetches the epoch on resume and
+        # re-appends — dedup on (doc_id) keep-lowest-epoch makes the
+        # read side idempotent (read_documents).
+        self.docs_tbl.commit(
+            docs, mode="append",
+            metrics={"epoch": e, "docs": n_fetched}, lineage=lineage,
+        )
+        n_pending = new_frontier.filter(F.col("status") == "pending").count()
+        self.frontier_tbl.commit(
+            new_frontier,
+            metrics={
+                "epoch": e,
+                "dequeued": n_batch,
+                "fetched": n_fetched,
+                "failed": n_failed,
+                "pending": n_pending,
+            },
+            state={BLOOM_STATE: bloom.to_bytes()},
+            lineage=lineage,
+        )
+        batch.unpersist()
+        fetched.unpersist()
+        return {
+            "epoch": e,
+            "dequeued": n_batch,
+            "fetched": n_fetched,
+            "failed": n_failed,
+            "pending": n_pending,
+            "done": n_pending == 0,
+        }
+
+    def run(self, max_epochs: int = 1000) -> list[dict]:
+        stats = []
+        for _ in range(max_epochs):
+            s = self.run_epoch()
+            stats.append(s)
+            if s.get("done"):
+                break
+        return stats
+
+    # -- reads ----------------------------------------------------------------
+    def read_documents(self, snap: int | None = None) -> DataFrame:
+        """Docs as of a snapshot, idempotent under epoch replay: if a
+        crash re-appended a doc, keep the earliest (epoch, crawl_rank).
+        """
+        docs = self.docs_tbl.read(self.spark, snap)
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("doc_id").orderBy("epoch", "crawl_rank")
+        return (
+            docs.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    def crawl_order(self) -> list[str]:
+        """Realized crawl order: (epoch, crawl_rank) ascending."""
+        return [
+            r["doc_id"]
+            for r in self.read_documents()
+            .select("doc_id", "epoch", "crawl_rank")
+            .orderBy("epoch", "crawl_rank")
+            .collect()
+        ]

@@ -1,0 +1,154 @@
+"""End-to-end crawl pipeline vs the sequential oracle.
+
+North-rule invariants (BASELINE.json): span-sequence equality (kind,
+text, media_ref, order), identical crawl-frontier ordering, identical
+URL-seen set, under the same seed list + politeness budget; exact
+resume from a snapshot after a kill.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fide_crawler_spark.fixtures import seed_frontier_rows
+from fide_crawler_spark.operators.parse import reassemble_spans, explode_spans
+from fide_crawler_spark.operators.politeness import (
+    politeness_cap,
+    politeness_cap_naive,
+)
+from fide_crawler_spark.operators.scheduler import CrawlJob
+from fide_crawler_spark.oracle.sequential import run_oracle
+
+SEEDS = ["1503014", "2020009", "35009192"]
+START, N_MONTHS, BUDGET = "2023-01-01", 5, 4
+
+
+@pytest.fixture(scope="module")
+def frontier_rows():
+    return seed_frontier_rows(SEEDS, START, N_MONTHS)
+
+
+@pytest.fixture(scope="module")
+def oracle(frontier_rows):
+    return run_oracle(frontier_rows, BUDGET)
+
+
+@pytest.fixture(scope="module")
+def job(spark, frontier_rows, tmp_path_factory):
+    wd = str(tmp_path_factory.mktemp("crawl"))
+    j = CrawlJob(spark, wd, budget_per_host=BUDGET, n_salts=4)
+    j.init(spark.createDataFrame(frontier_rows))
+    j.run()
+    return j
+
+
+def spark_spans(job) -> dict[str, list[tuple]]:
+    rows = job.read_documents().select("doc_id", "spans").collect()
+    return {
+        r["doc_id"]: [
+            (s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["spans"]
+        ]
+        for r in rows
+    }
+
+
+def test_span_sequences_match_oracle(job, oracle):
+    got = spark_spans(job)
+    assert set(got) == set(oracle.spans)
+    for url, expected in oracle.spans.items():
+        assert got[url] == expected, f"span sequence mismatch for {url}"
+
+
+def test_crawl_order_matches_oracle(job, oracle):
+    assert job.crawl_order() == oracle.crawl_order
+
+
+def test_url_seen_set_matches_oracle(job, spark, oracle):
+    fetched = {
+        r["url"]
+        for r in job.frontier_tbl.read(spark)
+        .filter(F.col("status") == "fetched")
+        .select("url")
+        .collect()
+    }
+    assert fetched == oracle.url_seen
+
+
+def test_no_url_fetched_twice(job):
+    docs = job.docs_tbl.read(job.spark)
+    assert docs.count() == docs.select("doc_id").distinct().count()
+
+
+def test_politeness_respected_per_epoch(job, spark):
+    per_epoch = (
+        job.read_documents()
+        .groupBy("epoch")
+        .count()
+        .orderBy("epoch")
+        .collect()
+    )
+    assert all(r["count"] <= BUDGET for r in per_epoch)
+    total = len(SEEDS) * N_MONTHS
+    assert sum(r["count"] for r in per_epoch) == total
+
+
+def test_lineage_and_metrics_recorded(job):
+    m = job.frontier_tbl.manifest()
+    assert m["metrics"]["pending"] == 0
+    assert m["metrics"]["epoch"] >= 0
+    docs_manifest = job.docs_tbl.manifest()
+    assert docs_manifest["lineage"], "per-partition lineage missing"
+    assert sum(p["docs"] for p in docs_manifest["lineage"]) == docs_manifest[
+        "metrics"
+    ]["docs"]
+
+
+def test_resume_identical_to_uninterrupted(spark, frontier_rows, oracle, tmp_path):
+    """Kill after epoch 0 (simulated by dropping the job object), build a
+    fresh CrawlJob on the same workdir, run to completion → identical
+    crawl order + spans."""
+    wd = str(tmp_path / "resumable")
+    j1 = CrawlJob(spark, wd, budget_per_host=BUDGET, n_salts=4)
+    j1.init(spark.createDataFrame(frontier_rows))
+    j1.run_epoch()
+    del j1
+
+    j2 = CrawlJob(spark, wd, budget_per_host=BUDGET, n_salts=4)
+    assert j2.epoch() == 0  # resumed from snapshot, not restarted
+    j2.run()
+    assert j2.crawl_order() == oracle.crawl_order
+    got = spark_spans(j2)
+    assert got == oracle.spans
+
+
+def test_shuffle_partition_invariance(spark, frontier_rows, oracle, tmp_path):
+    """Execution-parallelism independence: same job at a different
+    shuffle width produces identical crawl order and spans (order is a
+    data property).  bench.py additionally evidences local[8] vs
+    local[32]."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        j = CrawlJob(spark, str(tmp_path / "narrow"), budget_per_host=BUDGET, n_salts=2)
+        j.init(spark.createDataFrame(frontier_rows))
+        j.run()
+        assert j.crawl_order() == oracle.crawl_order
+        assert spark_spans(j) == oracle.spans
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def test_politeness_two_phase_equals_naive(spark, frontier_rows):
+    df = spark.createDataFrame(frontier_rows)
+    fast = politeness_cap(df, BUDGET, n_salts=4).select("url")
+    naive = politeness_cap_naive(df, BUDGET).select("url")
+    assert {r["url"] for r in fast.collect()} == {r["url"] for r in naive.collect()}
+
+
+def test_span_explode_reassemble_roundtrip(spark, job):
+    docs = job.read_documents().select("doc_id", "spans")
+    back = reassemble_spans(explode_spans(docs))
+    orig = {r["doc_id"]: r["spans"] for r in docs.collect()}
+    rt = {r["doc_id"]: r["spans"] for r in back.collect()}
+    assert orig == rt
