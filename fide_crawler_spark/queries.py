@@ -1,0 +1,626 @@
+"""Query catalog: every SURVEY.md §2 operator as a (Spark fn, oracle SQL) pair.
+
+Each entry maps an operator family from the reference (cites in each
+docstring) onto the driver-provided testdata tables (TESTDATA.md).  The
+Spark side is DataFrame API (declarative → Catalyst optimizes); the
+oracle side is ANSI SQL run by DuckDB over the same parquet.  Column
+names and types are aligned on both sides because the driver's compare
+hashes values after sorting columns by name.
+
+Float discipline: money-style sums are computed in DECIMAL on both
+sides (exact, order-independent — a double sum's low bits depend on
+partition order); averages/ratios are rounded to 4 decimals.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def query(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+    return deco
+
+
+# --------------------------------------------------------------------------
+# A. flagship — crawl-analytics shape of SURVEY G1+F2 ("last-3 tournaments
+#    summary", ui/streamlit_ui.py:152-208) on the orders/lineitem tables
+# --------------------------------------------------------------------------
+@query(
+    "flagship_last3_days",
+    """
+    SELECT CAST(o_orderdate AS DATE) AS order_day,
+           COUNT(DISTINCT o_orderkey) AS n_orders,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,8))
+               AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1 ORDER BY order_day DESC LIMIT 3
+    """,
+)
+def flagship_last3_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1 group-multi-agg + F2 top-k latest (ui/streamlit_ui.py:164-187):
+    revenue summary of the 3 most recent order days."""
+    li, o = load(spark, sf_dir, "lineitem"), load(spark, sf_dir, "orders")
+    rev = (F.col("l_extendedprice").cast("decimal(18,4)")
+           * (F.lit(1) - F.col("l_discount").cast("decimal(18,4)")))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("o_orderdate").cast("date").alias("order_day"))
+        .agg(
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.sum(rev).cast("decimal(38,8)").alias("revenue"),
+        )
+        .orderBy(F.desc("order_day"))
+        .limit(3)
+    )
+
+
+# --------------------------------------------------------------------------
+# B/G. projections, filters, grouped aggregation
+# --------------------------------------------------------------------------
+@query(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_base,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,8)) AS sum_disc,
+           ROUND(AVG(l_quantity), 4) AS avg_qty,
+           COUNT(*) AS n
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1/G4/G5 grouped multi-agg (ui/streamlit_ui.py:164-167) in TPC-H
+    Q1 shape; filter pushed to the parquet scan."""
+    li = load(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("decimal(38,4)").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("decimal(38,4)").alias("sum_base"),
+            F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+            .cast("decimal(38,8)").alias("sum_disc"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "q2_conditional_slices",
+    """
+    SELECT ROUND(AVG(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 4) AS avg_f,
+           ROUND(AVG(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 4) AS avg_o,
+           SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS n_urgent,
+           SUM(CASE WHEN o_totalprice > 1000 THEN 1 ELSE 0 END) AS n_big,
+           COUNT(*) AS n
+    FROM orders
+    """,
+)
+def q2_conditional_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2 one-pass conditional aggregates (ui/streamlit_ui.py:268-276:
+    six avg slices computed in ONE scan via avg(when(...)))."""
+    o = load(spark, sf_dir, "orders")
+    return o.agg(
+        F.round(F.avg(F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice"))), 4).alias("avg_f"),
+        F.round(F.avg(F.when(F.col("o_orderstatus") == "O", F.col("o_totalprice"))), 4).alias("avg_o"),
+        F.sum(F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)).alias("n_urgent"),
+        F.sum(F.when(F.col("o_totalprice") > 1000, 1).otherwise(0)).alias("n_big"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "q3_filter_predicates",
+    """
+    SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_day, o_totalprice
+    FROM orders
+    WHERE o_orderstatus = 'O'
+      AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+      AND o_orderdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1997-12-31'
+      AND o_totalprice > 500
+    ORDER BY o_orderkey
+    """,
+)
+def q3_filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2 equality + B3 conjunction + B4 IN-list + B6 BETWEEN
+    (ui/streamlit_ui.py:217-229,270-276,311-319;
+    data_fetching_processing.py:239) — all pushed to the scan."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.filter(
+            (F.col("o_orderstatus") == "O")
+            & F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+            & F.col("o_orderdate").between("1995-01-01", "1997-12-31")
+            & (F.col("o_totalprice") > 500)
+        )
+        .select(
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("order_day"),
+            "o_totalprice",
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "q4_substring_filter",
+    """
+    SELECT p_partkey, p_name FROM part
+    WHERE CONTAINS(LOWER(p_name), 'red') ORDER BY p_partkey
+    """,
+)
+def q4_substring_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B5 case-insensitive substring filter
+    (ui/streamlit_ui.py:322-324)."""
+    p = load(spark, sf_dir, "part")
+    return (
+        p.filter(F.lower(F.col("p_name")).contains("red"))
+        .select("p_partkey", "p_name")
+        .orderBy("p_partkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# C. joins
+# --------------------------------------------------------------------------
+@query(
+    "q5_broadcast_join_revenue",
+    """
+    SELECT c_mktsegment,
+           COUNT(DISTINCT o_orderkey) AS n_orders,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,8)) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def q5_broadcast_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1 FK equi-join (database_management.py:41).  The customer dim is
+    broadcast (small side), the fact-fact join shuffles on orderkey."""
+    c = F.broadcast(load(spark, sf_dir, "customer"))
+    o, li = load(spark, sf_dir, "orders"), load(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice").cast("decimal(18,4)")
+           * (F.lit(1) - F.col("l_discount").cast("decimal(18,4)")))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.sum(rev).cast("decimal(38,8)").alias("revenue"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "q6_anti_join",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    ORDER BY c_custkey
+    """,
+)
+def q6_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3 URL-seen shape: left anti-join (cache-hit check,
+    data_fetching_processing.py:219-234)."""
+    c, o = load(spark, sf_dir, "customer"), load(spark, sf_dir, "orders")
+    return (
+        c.join(o.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "q7_semi_join",
+    """
+    SELECT s_suppkey, s_name FROM supplier
+    WHERE s_suppkey IN (SELECT l_suppkey FROM lineitem WHERE l_quantity > 45)
+    ORDER BY s_suppkey
+    """,
+)
+def q7_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2 lookup-by-key as a left semi-join (ui/streamlit_ui.py:95-96)."""
+    s, li = load(spark, sf_dir, "supplier"), load(spark, sf_dir, "lineitem")
+    keys = li.filter(F.col("l_quantity") > 45).select(
+        F.col("l_suppkey").alias("s_suppkey")
+    )
+    return (
+        s.join(keys, "s_suppkey", "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "q8_similarity_join",
+    """
+    WITH scored AS (
+      SELECT n_name, r_name,
+             ROUND(1.0 - CAST(levenshtein(n_name, r_name) AS DOUBLE)
+                   / GREATEST(LENGTH(n_name), LENGTH(r_name)), 4) AS sim,
+             ROW_NUMBER() OVER (
+               PARTITION BY n_name
+               ORDER BY 1.0 - CAST(levenshtein(n_name, r_name) AS DOUBLE)
+                         / GREATEST(LENGTH(n_name), LENGTH(r_name)) DESC,
+                        r_name
+             ) AS rn
+      FROM nation CROSS JOIN region
+    )
+    SELECT n_name, r_name AS best_region, sim FROM scored WHERE rn = 1
+    ORDER BY n_name
+    """,
+)
+def q8_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5 non-equi similarity join: cross join + Levenshtein score +
+    top-1 per key (the DGT best-match loop,
+    old_scripts/fide-games-scraper-public.py:123-153)."""
+    n, r = load(spark, sf_dir, "nation"), load(spark, sf_dir, "region")
+    sim = (
+        F.lit(1.0)
+        - F.levenshtein("n_name", "r_name").cast("double")
+        / F.greatest(F.length("n_name"), F.length("r_name"))
+    )
+    w = Window.partitionBy("n_name").orderBy(F.desc("sim_raw"), F.asc("r_name"))
+    return (
+        n.crossJoin(F.broadcast(r))
+        .withColumn("sim_raw", sim)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "n_name",
+            F.col("r_name").alias("best_region"),
+            F.round("sim_raw", 4).alias("sim"),
+        )
+        .orderBy("n_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# W/F. windows, dedup, sort/limit
+# --------------------------------------------------------------------------
+@query(
+    "q9_window_dedup_keepfirst",
+    """
+    SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey FROM (
+      SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+             ROW_NUMBER() OVER (
+               PARTITION BY l_partkey, l_suppkey
+               ORDER BY l_orderkey, l_linenumber
+             ) AS rn
+      FROM lineitem
+    ) WHERE rn = 1 ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def q9_window_dedup_keepfirst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 keep-first dedup with exact ORDER BY id semantics
+    (database_management.py:56-71: ROW_NUMBER ... ORDER BY id, DELETE
+    rn>1)."""
+    li = load(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_partkey", "l_suppkey").orderBy(
+        "l_orderkey", "l_linenumber"
+    )
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@query(
+    "q10_topk_per_group",
+    """
+    SELECT c_mktsegment, o_orderkey, o_totalprice FROM (
+      SELECT c_mktsegment, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (
+               PARTITION BY c_mktsegment
+               ORDER BY o_totalprice DESC, o_orderkey
+             ) AS rn
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ) WHERE rn <= 3 ORDER BY c_mktsegment, o_totalprice DESC, o_orderkey
+    """,
+)
+def q10_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 top-k after sort, per group (ui/streamlit_ui.py:184-187
+    last-3-tournaments) — W3 priority-queue shape."""
+    o, c = load(spark, sf_dir, "orders"), load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("c_mktsegment", "o_orderkey", "o_totalprice")
+        .orderBy("c_mktsegment", F.desc("o_totalprice"), "o_orderkey")
+    )
+
+
+@query(
+    "q11_running_sum",
+    """
+    SELECT user_id, event_id,
+           ROUND(SUM(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ), 4) AS running_value
+    FROM events WHERE user_id < 5
+    ORDER BY user_id, event_id
+    """,
+)
+def q11_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 running-sum frame (block-id assignment shape,
+    data_fetching_processing.py:154-173)."""
+    e = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        e.filter(F.col("user_id") < 5)
+        .select(
+            "user_id",
+            "event_id",
+            F.round(F.sum("value").over(w), 4).alias("running_value"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+@query(
+    "q12_minmax_by",
+    """
+    SELECT user_id,
+           MIN_BY(event_id, ts) AS first_event,
+           MAX_BY(event_id, ts) AS last_event,
+           CAST(MIN(ts) AS DATE) AS first_day,
+           CAST(MAX(ts) AS DATE) AS last_day,
+           COUNT(*) AS n
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q12_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G8 first/last after sort as native min_by/max_by
+    (ui/streamlit_ui.py:136-138 ELO delta) + G3 min/max."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.min_by("event_id", "ts").alias("first_event"),
+            F.max_by("event_id", "ts").alias("last_event"),
+            F.min("ts").cast("date").alias("first_day"),
+            F.max("ts").cast("date").alias("last_day"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# G. distribution / distinct aggregates
+# --------------------------------------------------------------------------
+@query(
+    "q13_value_counts_normalized",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           ROUND(100.0 * COUNT(*) / SUM(COUNT(*)) OVER (), 4) AS pct
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q13_value_counts_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G6 normalized value_counts → win/draw/loss %
+    (old_scripts/fide-player-stats-en-US.py:516-519)."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy()
+    return (
+        e.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("pct", F.round(F.lit(100.0) * F.col("n") / F.sum("n").over(w), 4))
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q14_sorted_distinct_join",
+    """
+    SELECT n_nationkey, n_name,
+           STRING_AGG(DISTINCT c_mktsegment, '/ ' ORDER BY c_mktsegment) AS segments
+    FROM nation JOIN customer ON c_nationkey = n_nationkey
+    GROUP BY n_nationkey, n_name ORDER BY n_nationkey
+    """,
+)
+def q14_sorted_distinct_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G7+H15 sorted distinct set joined to a string
+    (ui/streamlit_ui.py:325-327: '/ '.join(sorted(unique)))."""
+    n, c = load(spark, sf_dir, "nation"), load(spark, sf_dir, "customer")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_nationkey", "n_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("c_mktsegment")), "/ ").alias(
+                "segments"
+            )
+        )
+        .orderBy("n_nationkey")
+    )
+
+
+@query(
+    "q15_rollup",
+    """
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_qty
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+)
+def q15_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets demo (SURVEY §2.D note): rollup over the Q1 keys."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,4)"))
+            .cast("decimal(38,4)").alias("sum_qty"),
+        )
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# S. set ops
+# --------------------------------------------------------------------------
+@query(
+    "q16_union_dedup",
+    """
+    SELECT o_custkey, COUNT(*) AS n FROM (
+      SELECT o_custkey FROM orders WHERE o_totalprice > 900
+      UNION
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    ) GROUP BY o_custkey ORDER BY o_custkey
+    """,
+)
+def q16_union_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/S2 incremental union + bag→set dedup
+    (data_fetching_processing.py:219-239, :255)."""
+    o = load(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_totalprice") > 900).select("o_custkey")
+    b = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return (
+        a.unionByName(b)
+        .distinct()
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("o_custkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# H. scalar function surface
+# --------------------------------------------------------------------------
+@query(
+    "q17_scalar_functions",
+    """
+    SELECT event_id,
+           CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INT) AS k_value,
+           regexp_replace(event_type, '[^a-z]', '', 'g') AS et_alpha,
+           LOWER(TRIM(event_type)) AS et_norm,
+           CAST(date_trunc('month', ts) AS DATE) AS month,
+           CAST(ts AS DATE) + INTERVAL 1 DAY AS next_day,
+           strftime(ts, '%Y-%m-%d') AS day_str,
+           CONCAT(event_type, '/', CAST(user_id AS VARCHAR)) AS tag,
+           ROUND(value, 1) AS value_r,
+           CAST(FLOOR(value) AS BIGINT) AS value_floor,
+           SUBSTRING(CAST(CAST(FLOOR(value) AS BIGINT) AS VARCHAR), 1, 2) AS first2
+    FROM events WHERE event_id < 200 ORDER BY event_id
+    """,
+)
+def q17_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H1-H14/H21 scalar surface: regex extract/strip (H1-H3), casts
+    (H4-H5), date trunc/format/arithmetic (H6-H10), lower/trim (H11),
+    concat (H12), rounding (H14), leading-substring int (H21)."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.filter(F.col("event_id") < 200)
+        .select(
+            "event_id",
+            F.regexp_extract("props", r'"k": (\d+)', 1).cast("int").alias("k_value"),
+            F.regexp_replace("event_type", "[^a-z]", "").alias("et_alpha"),
+            F.lower(F.trim(F.col("event_type"))).alias("et_norm"),
+            F.date_trunc("month", F.col("ts")).cast("date").alias("month"),
+            (F.col("ts").cast("date") + F.expr("interval 1 day")).cast("timestamp").alias("next_day"),
+            F.date_format("ts", "yyyy-MM-dd").alias("day_str"),
+            F.concat_ws("/", "event_type", F.col("user_id").cast("string")).alias("tag"),
+            F.round("value", 1).alias("value_r"),
+            F.floor("value").cast("bigint").alias("value_floor"),
+            F.substring(F.floor("value").cast("bigint").cast("string"), 1, 2).alias("first2"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "q18_month_sequence",
+    """
+    WITH bounds AS (
+      SELECT CAST(date_trunc('month', MIN(o_orderdate)) AS DATE) AS lo,
+             CAST(date_trunc('month', MAX(o_orderdate)) AS DATE) AS hi
+      FROM orders
+    ),
+    months AS (
+      SELECT CAST(UNNEST(generate_series(CAST(lo AS TIMESTAMP),
+                                         CAST(hi AS TIMESTAMP),
+                                         INTERVAL 1 MONTH)) AS DATE) AS month
+      FROM bounds
+    )
+    SELECT m.month, COUNT(o.o_orderkey) AS n_orders
+    FROM months m LEFT JOIN orders o
+      ON CAST(date_trunc('month', o.o_orderdate) AS DATE) = m.month
+    GROUP BY m.month ORDER BY m.month
+    """,
+)
+def q18_month_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H9 month-walk frontier generation: sequence + explode over the
+    [min,max] month range (data_fetching_processing.py:125-131), then a
+    coverage join — the relational form of the gap analysis (:219-234)."""
+    o = load(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.trunc(F.min("o_orderdate").cast("date"), "month").alias("lo"),
+        F.trunc(F.max("o_orderdate").cast("date"), "month").alias("hi"),
+    )
+    months = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 month"))).alias("month")
+    )
+    per_month = o.select(
+        F.trunc(F.col("o_orderdate").cast("date"), "month").alias("month"),
+        "o_orderkey",
+    )
+    return (
+        months.join(per_month, "month", "left")
+        .groupBy("month")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+        .orderBy("month")
+    )
