@@ -1,0 +1,284 @@
+"""Deduplication operators for corpus curation at 100 TB scale.
+
+Five strategies, all shuffle-disciplined (candidate generation via
+bucket keys so no all-pairs cross join ever materializes):
+
+* exact           — hash groupBy on content, keep-first (min doc_id)
+* n-gram Jaccard  — shingle → inverted-index self-join → exact Jaccard
+* MinHash + LSH   — k permutations over xxhash64(shingle), banded
+                    bucket-join for candidates, exact-Jaccard verify
+* SimHash         — sign-aggregated bit fingerprint, equal-hash buckets
+* embedding cosine — random-hyperplane LSH buckets + within-bucket
+                    vectorized pandas verify (near-dup over vectors)
+
+Reference analog: the 5-column duplicate purge
+(``database/database_management.py:56-71``) is the `exact` case; the
+rest generalize it to near-duplicate detection.  Everything except the
+embedding verifier is pure JVM expression (no Python in the row path);
+MinHash permutation mins are computed as grouped aggregates, not UDAFs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# universal-hash modulus: 2^31-1 (Mersenne).  Small enough that
+# a*h + b stays < 2^62 — no int64 overflow under Spark's ANSI mode —
+# while 2^31 distinct min values is ample for 16-permutation MinHash.
+MERSENNE = (1 << 31) - 1
+
+
+def exact_dedup(docs: DataFrame, content_col: str = "text") -> DataFrame:
+    """Exact dedup: one survivor (min doc_id) per distinct content.
+    Hash aggregate — partial map-side combine, one shuffle on content
+    hash; at scale, group on xxhash64(content) first so the wide text
+    column doesn't ride the shuffle."""
+    h = F.xxhash64(content_col)
+    survivors = (
+        docs.select(F.col("doc_id"), h.alias("_h"))
+        .groupBy("_h")
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .select("doc_id", "n_copies")
+    )
+    return survivors
+
+
+def shingles_col(text_col: str = "text", n: int = 3):
+    """Word n-gram shingles as a deduped array — JVM higher-order
+    functions over split(), no UDF."""
+    toks = F.split(F.col(text_col), " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    gram = lambda i: F.array_join(F.slice(toks, i + 1, n), " ")  # noqa: E731
+    return F.array_distinct(F.transform(idx, gram))
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact Jaccard over word-n-gram shingle sets, restricted to pairs
+    sharing ≥1 shingle (inverted-index self-join — the candidate set an
+    all-pairs cross join would waste 99%+ of its work rediscovering).
+
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("doc"), shingles_col(n=n).alias("sh")
+    ).withColumn("n_sh", F.size("sh"))
+    flat = sh.select("doc", "n_sh", F.explode("sh").alias("shingle"))
+    a = flat.select(
+        F.col("doc").alias("doc_a"), F.col("n_sh").alias("na"), "shingle"
+    )
+    b = flat.select(
+        F.col("doc").alias("doc_b"), F.col("n_sh").alias("nb"), "shingle"
+    )
+    pairs = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("inter")),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+    if threshold > 0:
+        pairs = pairs.filter(F.col("jaccard") >= threshold)
+    return pairs
+
+
+def _minhash_params(k: int, seed: int = 7) -> list[tuple[int, int]]:
+    rng = np.random.default_rng(seed)
+    return [
+        (int(rng.integers(1, MERSENNE - 1)), int(rng.integers(0, MERSENNE - 1)))
+        for _ in range(k)
+    ]
+
+
+def minhash_signatures(
+    docs: DataFrame, k: int = 16, n: int = 3, id_col: str = "doc_id"
+) -> DataFrame:
+    """k-permutation MinHash signature per doc, computed as k grouped
+    MIN aggregates over xxhash64(shingle) — one shuffle, zero UDFs.
+    Permutation i: (a_i * h + b_i) mod M61 (universal hashing)."""
+    flat = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(shingles_col(n=n)).alias("shingle"),
+    ).select(
+        "doc", F.pmod(F.xxhash64("shingle"), F.lit(MERSENNE)).alias("h")
+    )
+    aggs = [
+        F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(MERSENNE))).alias(
+            f"mh_{i}"
+        )
+        for i, (a, b) in enumerate(_minhash_params(k))
+    ]
+    return flat.groupBy("doc").agg(*aggs)
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    k: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """LSH banding: signature split into ``bands`` rows-per-band groups;
+    docs colliding on any full band become candidates.  Returns
+    (doc_a, doc_b, n_bands_shared), doc_a < doc_b.  Collision prob for
+    Jaccard s: 1-(1-s^(k/bands))^bands."""
+    sig = minhash_signatures(docs, k=k, n=n, id_col=id_col)
+    rows_per_band = k // bands
+    band_cols = [
+        F.xxhash64(
+            F.lit(b), *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        ).alias("band_hash")
+        for b in range(bands)
+    ]
+    banded = sig.select(
+        "doc",
+        F.posexplode(F.array(*band_cols)).alias("band_id", "band_hash"),
+    )
+    a = banded.select(F.col("doc").alias("doc_a"), "band_id", "band_hash")
+    b = banded.select(F.col("doc").alias("doc_b"), "band_id", "band_hash")
+    return (
+        a.join(b, ["band_id", "band_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_bands_shared"))
+    )
+
+
+def minhash_dedup(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    k: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Full MinHash-LSH dedup: banded candidates, exact-Jaccard verify,
+    survivors = docs not dominated by a smaller near-duplicate id."""
+    cands = minhash_lsh_candidates(docs, k=k, bands=bands, n=n, id_col=id_col)
+    sh = docs.select(F.col(id_col).alias("doc"), shingles_col(n=n).alias("sh"))
+    verified = (
+        cands.join(sh.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
+        .join(sh.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / F.size(F.array_union("sh_a", "sh_b"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    dominated = verified.select(F.col("doc_b").alias(id_col)).distinct()
+    return docs.join(dominated, id_col, "left_anti")
+
+
+def simhash(docs: DataFrame, bits: int = 16, n: int = 1, id_col: str = "doc_id") -> DataFrame:
+    """SimHash fingerprint: per feature (word n-gram), take the xxhash64
+    bit pattern; each output bit is the sign of the per-bit ±1 vote sum.
+    Pure grouped aggregate — ``bits`` conditional sums over one explode.
+    """
+    flat = docs.select(
+        F.col(id_col).alias("doc"), F.explode(shingles_col(n=n)).alias("feat")
+    ).select("doc", F.xxhash64("feat").alias("h"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v_{i}")
+        for i in range(bits)
+    ]
+    voted = flat.groupBy("doc").agg(*votes)
+    fp = None
+    for i in range(bits):
+        bit = F.when(F.col(f"v_{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        fp = bit if fp is None else fp + bit
+    return voted.select("doc", fp.cast("bigint").alias("simhash"))
+
+
+def simhash_buckets(docs: DataFrame, bits: int = 16, n: int = 1) -> DataFrame:
+    """Docs sharing an identical SimHash — the hamming-0 candidate
+    groups (hamming≤r generalizes by banding the fingerprint)."""
+    sh = simhash(docs, bits=bits, n=n)
+    return (
+        sh.groupBy("simhash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.array_sort(F.collect_list("doc")).alias("docs"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    seed: int = 11,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup: random-hyperplane LSH bucket (sign
+    bits of ``n_planes`` fixed seeded projections), then exact cosine
+    within buckets via a vectorized pandas verifier (numpy matmul per
+    bucket — the only Python stage, Arrow-batched)."""
+    first = emb.select(F.col(vec_col).alias("v")).first()
+    dim = len(first["v"])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+
+    def bucketize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf[vec_col].to_numpy())
+            signs = (m @ planes.T) > 0
+            bucket = (signs * (1 << np.arange(n_planes))).sum(axis=1)
+            yield pd.DataFrame(
+                {"vid": pdf[id_col], "bucket": bucket.astype(np.int64),
+                 "vec": list(m.astype(np.float64))}
+            )
+
+    bucketed = emb.select(id_col, vec_col).mapInPandas(
+        bucketize, schema="vid bigint, bucket bigint, vec array<double>"
+    )
+
+    def verify(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []}).astype(
+                {"vec_a": np.int64, "vec_b": np.int64, "cosine": np.float64}
+            )
+        ids = pdf["vid"].to_numpy()
+        m = np.stack(pdf["vec"].to_numpy())
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        sims = (m / norms) @ (m / norms).T
+        ia, ib = np.triu_indices(len(ids), k=1)
+        mask = sims[ia, ib] >= threshold
+        a, b = ids[ia[mask]], ids[ib[mask]]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame(
+            {"vec_a": lo, "vec_b": hi, "cosine": np.round(sims[ia, ib][mask], 4)}
+        )
+
+    return (
+        bucketed.groupBy("bucket")
+        .applyInPandas(verify, schema="vec_a bigint, vec_b bigint, cosine double")
+        .dropDuplicates(["vec_a", "vec_b"])
+    )

@@ -1,0 +1,108 @@
+"""Text analysis operators for a training-data pipeline over `documents`.
+
+All hot-path expressions are JVM-side (``split``, higher-order array
+functions, ``xxhash64``) — no Python in the row path.  Each operator has
+a queries.py entry; the SQL-expressible ones carry a DuckDB oracle.
+
+These extend the reference's text handling (string normalization at
+``ui/streamlit_ui.py:322-324``, digit filters at
+``data_processing/data_fetching_processing.py:200``) to corpus scale:
+token stats, quality scoring, language-ID heuristic, fingerprinting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny English-marker stopword list for the n-gram/stopword heuristics.
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "on", "for", "with"]
+
+FINGERPRINT_MOD = 2147483647  # 2^31 - 1
+
+
+def tokens_col(text: str | Column = "text") -> Column:
+    return F.split(text if isinstance(text, Column) else F.col(text), " ")
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """Token counting: whitespace tokens, distinct tokens, char stats."""
+    toks = tokens_col()
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.length("text").alias("n_chars_calc"),
+        F.round(
+            F.length(F.regexp_replace("text", r"\s", "")).cast("double")
+            / F.greatest(F.size(toks), F.lit(1)),
+            4,
+        ).alias("avg_token_len"),
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Quality scoring: length band + stopword ratio + repetition ratio.
+
+    A simple deterministic score in [0,1]: rewards mid-length documents,
+    a healthy stopword ratio, and low repetition — the standard cheap
+    pre-filter shape for corpus curation.
+    """
+    toks = tokens_col()
+    n = F.size(toks).cast("double")
+    n_stop = F.size(
+        F.filter(toks, lambda t: t.isin(STOPWORDS))
+    ).cast("double")
+    n_dist = F.size(F.array_distinct(toks)).cast("double")
+    stop_ratio = n_stop / F.greatest(n, F.lit(1.0))
+    rep_ratio = F.lit(1.0) - n_dist / F.greatest(n, F.lit(1.0))
+    len_score = F.least(n / F.lit(64.0), F.lit(1.0))
+    score = (
+        F.lit(0.4) * len_score
+        + F.lit(0.3) * F.least(stop_ratio * 4, F.lit(1.0))
+        + F.lit(0.3) * (F.lit(1.0) - rep_ratio)
+    )
+    # floor(x*1e4+0.5)/1e4 instead of round(): Spark rounds the double's
+    # decimal expansion (BigDecimal HALF_UP) while DuckDB rounds the
+    # scaled float — they disagree on ...4999 doubles; this formula is
+    # bit-identical in both engines.
+    r4 = lambda c: F.floor(c * 10000 + F.lit(0.5)) / 10000  # noqa: E731
+    return docs.select(
+        "doc_id",
+        r4(stop_ratio).alias("stopword_ratio"),
+        r4(rep_ratio).alias("repetition_ratio"),
+        r4(score).alias("quality_score"),
+    )
+
+
+def langid(docs: DataFrame) -> DataFrame:
+    """Language-ID heuristic: marker-token ratio (n-gram-style scoring
+    without external models).  ``en_score`` = fraction of tokens in the
+    English marker set; predicted label thresholds it."""
+    toks = tokens_col()
+    en = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS))).cast("double") / F.greatest(
+        F.size(toks).cast("double"), F.lit(1.0)
+    )
+    return docs.select(
+        "doc_id",
+        F.round(en, 4).alias("en_score"),
+        F.when(en >= 0.08, "en").otherwise("unk").alias("predicted_lang"),
+    )
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """Document fingerprinting: position-weighted rolling token-code sum
+    mod 2^31-1 (Karp-Rabin family).  Token code = 31*len + first-char
+    code — cheap, deterministic, SQL-expressible for the oracle."""
+    toks = F.posexplode(tokens_col()).alias("pos", "tok")
+    exploded = docs.select("doc_id", toks)
+    code = F.length("tok") * 31 + F.ascii("tok")
+    return (
+        exploded.groupBy("doc_id")
+        .agg(
+            F.pmod(
+                F.sum((F.col("pos") + 1).cast("bigint") * code.cast("bigint")),
+                F.lit(FINGERPRINT_MOD),
+            ).alias("fingerprint")
+        )
+    )

@@ -624,3 +624,309 @@ def q18_month_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("o_orderkey").alias("n_orders"))
         .orderBy("month")
     )
+
+
+# --------------------------------------------------------------------------
+# Training-data pipeline: text analysis (SURVEY "beyond the reference")
+# --------------------------------------------------------------------------
+from fide_crawler_spark.operators import dedup as D  # noqa: E402
+from fide_crawler_spark.operators import multimodal as MM  # noqa: E402
+from fide_crawler_spark.operators import similarity as SIM  # noqa: E402
+from fide_crawler_spark.operators import textstats as TS  # noqa: E402
+
+_STOP_SQL = "['" + "','".join(TS.STOPWORDS) + "']"
+
+
+@query(
+    "q19_token_stats",
+    """
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+           LENGTH(text) AS n_chars_calc,
+           ROUND(CAST(LENGTH(REGEXP_REPLACE(text, '\\s', '', 'g')) AS DOUBLE)
+                 / GREATEST(len(string_split(text, ' ')), 1), 4) AS avg_token_len
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q19_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting over `documents` (whitespace tokenizer)."""
+    return TS.token_stats(load(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+@query(
+    "q20_quality_score",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS DOUBLE) AS n,
+             CAST(len(list_filter(string_split(text, ' '),
+                                  x -> list_contains({_STOP_SQL}, x))) AS DOUBLE) AS n_stop,
+             CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS n_dist
+      FROM documents
+    )
+    , r AS (
+      SELECT doc_id,
+             n_stop / GREATEST(n, 1.0) AS stop_ratio,
+             1.0 - n_dist / GREATEST(n, 1.0) AS rep_ratio,
+             LEAST(n / 64.0, 1.0) AS len_score
+      FROM t
+    )
+    SELECT doc_id,
+           FLOOR(stop_ratio * 10000 + 0.5) / 10000 AS stopword_ratio,
+           FLOOR(rep_ratio * 10000 + 0.5) / 10000 AS repetition_ratio,
+           FLOOR((0.4 * len_score + 0.3 * LEAST(stop_ratio * 4, 1.0)
+                  + 0.3 * (1.0 - rep_ratio)) * 10000 + 0.5) / 10000 AS quality_score
+    FROM r ORDER BY doc_id
+    """,
+)
+def q20_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length band + stopword ratio + repetition."""
+    return TS.quality_score(load(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+@query(
+    "q21_langid",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split(text, ' '),
+                                  x -> list_contains({_STOP_SQL}, x))) AS DOUBLE)
+             / GREATEST(CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0) AS en
+      FROM documents
+    )
+    SELECT doc_id, ROUND(en, 4) AS en_score,
+           CASE WHEN en >= 0.08 THEN 'en' ELSE 'unk' END AS predicted_lang
+    FROM t ORDER BY doc_id
+    """,
+)
+def q21_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (marker-token ratio)."""
+    return TS.langid(load(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+@query(
+    "q22_fingerprint",
+    """
+    SELECT doc_id,
+           MOD(SUM(CAST(pos AS BIGINT) * (31 * LENGTH(tok) + ASCII(tok))),
+               2147483647) AS fingerprint
+    FROM (
+      SELECT doc_id,
+             UNNEST(string_split(text, ' ')) AS tok,
+             UNNEST(generate_series(1, len(string_split(text, ' ')))) AS pos
+      FROM documents
+    )
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q22_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-weighted rolling-hash document fingerprint."""
+    return TS.fingerprint(load(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Training-data pipeline: dedup + similarity
+# --------------------------------------------------------------------------
+@query(
+    "q23_dedup_exact",
+    """
+    SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY text ORDER BY doc_id
+    """,
+)
+def q23_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one survivor per distinct content (hash groupBy)."""
+    return D.exact_dedup(load(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+@query(
+    "q24_ngram_jaccard_top20",
+    """
+    WITH sh AS (
+      SELECT doc_id AS doc,
+             list_distinct(list_transform(
+               generate_series(1, GREATEST(len(string_split(text,' ')) - 2, 1)),
+               i -> array_to_string(list_slice(string_split(text,' '), i, i + 2), ' ')
+             )) AS grams
+      FROM documents
+    ),
+    flat AS (SELECT doc, len(grams) AS n_sh, UNNEST(grams) AS shingle FROM sh),
+    pairs AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b, a.n_sh AS na, b.n_sh AS nb,
+             COUNT(*) AS inter
+      FROM flat a JOIN flat b ON a.shingle = b.shingle AND a.doc < b.doc
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT doc_a, doc_b,
+           ROUND(CAST(inter AS DOUBLE) / (na + nb - inter), 4) AS jaccard
+    FROM pairs
+    ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20
+    """,
+)
+def q24_ngram_jaccard_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard near-dup: inverted-index self-join, exact Jaccard,
+    top-20 most similar pairs (total-ordered tie-break)."""
+    pairs = D.ngram_jaccard_pairs(load(spark, sf_dir, "documents"), n=3)
+    return pairs.orderBy(F.desc("jaccard"), "doc_a", "doc_b").limit(20)
+
+
+@query(
+    "q25_cosine_topk",
+    """
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT vec_id,
+             ROUND(
+               list_sum(list_transform(list_zip(embedding, (SELECT qv FROM q)),
+                        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+               / (SQRT(list_sum(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * SQRT((SELECT list_sum(list_transform(qv,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) FROM q))),
+               4) AS cosine
+      FROM embeddings
+    )
+    SELECT vec_id, cosine FROM scored
+    ORDER BY cosine DESC, vec_id LIMIT 10
+    """,
+)
+def q25_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 vs the vec_id=0 embedding — JVM
+    zip_with/aggregate dot product, TakeOrderedAndProject top-k."""
+    emb = load(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return SIM.cosine_topk(emb, qv, k=10)
+
+
+@query(
+    "q26_multimodal_meta",
+    """
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           CAST(64 + MOD(n_chars, 128) AS INT) AS width,
+           CAST(64 + MOD(n_chars * 3, 128) AS INT) AS height,
+           source AS format
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q26_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payload + typed metadata struct
+    (flattened for the oracle)."""
+    m = MM.media_table(load(spark, sf_dir, "documents"))
+    return m.select(
+        "doc_id",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.format").alias("format"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "q27_embedding_norms",
+    """
+    SELECT label,
+           COUNT(*) AS n,
+           ROUND(AVG(SQRT(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS avg_norm
+    FROM embeddings GROUP BY label ORDER BY label
+    """,
+)
+def q27_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order functions: per-label mean L2 norm."""
+    emb = load(spark, sf_dir, "embeddings")
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return (
+        emb.select("label", norm.alias("nrm"))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("nrm"), 4).alias("avg_norm"))
+        .orderBy("label")
+    )
+
+
+@query(
+    "q28_tumbling_window",
+    """
+    SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM events GROUP BY 1, 2 ORDER BY window_start, event_type
+    """,
+)
+def q28_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window (batch form of the Structured
+    Streaming windowed agg in streaming/pipeline.py)."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+        .orderBy("window_start", "event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# Rows-only entries (non-SQL-expressible: hash-family dedup, ANN, crawl)
+# — verified by the pytest oracles instead (tests/test_dedup.py,
+# tests/test_crawl_pipeline.py)
+# --------------------------------------------------------------------------
+@query("q29_minhash_lsh_candidates")
+def q29_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH banded candidate pairs (xxhash64-based — not
+    reproducible in DuckDB; planted-duplicate recall tested in pytest)."""
+    return D.minhash_lsh_candidates(
+        load(spark, sf_dir, "documents"), k=16, bands=4
+    ).orderBy("doc_a", "doc_b")
+
+
+@query("q30_simhash_buckets")
+def q30_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash equal-fingerprint near-dup buckets."""
+    return D.simhash_buckets(load(spark, sf_dir, "documents")).orderBy("simhash")
+
+
+@query("q31_embedding_neardup")
+def q31_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via random-hyperplane LSH +
+    within-bucket vectorized verify."""
+    return D.embedding_neardup_pairs(
+        load(spark, sf_dir, "embeddings"), threshold=0.9
+    ).orderBy("vec_a", "vec_b")
+
+
+@query("q32_ann_ivf_topk")
+def q32_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate nearest neighbours for vec_id=0."""
+    emb = load(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return SIM.ann_topk_ivf(emb, qv, k=10, n_cells=16, n_probe=4)
+
+
+@query("q33_media_features")
+def q33_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode/feature-extract plumbing over mapInPandas (stubbed
+    kernel, real batching)."""
+    m = MM.media_table(load(spark, sf_dir, "documents"))
+    return MM.decode_media(m).drop("features").orderBy("doc_id")
+
+
+@query("q34_minhash_dedup_survivors")
+def q34_minhash_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MinHash-LSH dedup: candidates → exact-Jaccard verify →
+    survivors."""
+    return (
+        D.minhash_dedup(load(spark, sf_dir, "documents"), threshold=0.8)
+        .select("doc_id")
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,132 @@
+"""Structured Streaming surface.
+
+The reference is a sequential batch loop (SURVEY §2.I) — its loop
+mechanics map to micro-batch epochs, which the crawl scheduler realizes
+as a driver loop over snapshots (operators/scheduler.py).  This module
+provides the genuinely-streaming operators a continuous ingest of the
+same event/page data would need:
+
+* watermarked tumbling-window aggregation (late-data tolerant);
+* a custom stateful operator via ``applyInPandasWithState`` — running
+  per-key counters across micro-batches (the streaming analog of the
+  crawl's per-host budget accounting).
+
+Tests drive these with file-source micro-batches + a memory sink and
+assert equality with the batch computation (same engine, same results —
+the Dataflow-model contract).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, path: str, max_files: int = 1) -> DataFrame:
+    """File-source micro-batches.  The source requires a directory; a
+    single-file path (the testdata layout) is exposed through a temp
+    directory symlink."""
+    import os
+    import tempfile
+
+    if os.path.isfile(path):
+        d = tempfile.mkdtemp(prefix="events_stream_")
+        os.symlink(path, os.path.join(d, os.path.basename(path)))
+        path = d
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(path)
+    )
+
+
+def windowed_counts(events: DataFrame, window: str = "1 hour",
+                    watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling-window agg: the streaming form of
+    queries.q28_tumbling_window.  The watermark bounds state: windows
+    older than max(event_time) - watermark are finalized and dropped."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+
+
+RUNNING_SCHEMA = "user_id bigint, n_events bigint, total_value double"
+_STATE_SCHEMA = "n bigint, total double"
+
+
+def _running_totals(
+    key, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame(
+        {"user_id": [user_id], "n_events": [n], "total_value": [round(total, 4)]}
+    )
+
+
+def running_totals_stateful(events: DataFrame) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user
+    running event count + value sum maintained across micro-batches.
+    State is a (n, total) tuple per key; output mode 'update' emits the
+    latest running value each batch — the streaming analog of the
+    crawl scheduler's per-host budget ledger."""
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            _running_totals,
+            outputStructType=RUNNING_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_to_memory(
+    stream_df: DataFrame, name: str, output_mode: str = "complete"
+) -> None:
+    """Drive a streaming query to completion over the available files
+    (synchronous; for tests/smoke)."""
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()

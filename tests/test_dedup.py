@@ -1,0 +1,166 @@
+"""Dedup / similarity correctness against planted ground truth and
+pure-numpy oracles (these are the non-SQL-expressible ops the driver
+records rows-only; this is their real correctness gate)."""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from fide_crawler_spark.operators import dedup as D
+from fide_crawler_spark.operators import similarity as SIM
+
+VOCAB = (
+    "the quick brown fox jumps over lazy dog spark shuffle partition "
+    "broadcast join window agg filter scan codegen arrow batch"
+).split()
+
+
+def _mk_docs(spark, n_base=40, n_dups=10, seed=3):
+    """n_base random docs + n_dups near-copies (one token changed)."""
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n_base):
+        toks = [rng.choice(VOCAB) for _ in range(30)]
+        rows.append((i, " ".join(toks)))
+    for j in range(n_dups):
+        base_id, base_text = rows[j]
+        toks = base_text.split()
+        toks[5] = "mutated"
+        rows.append((1000 + j, " ".join(toks)))
+    return spark.createDataFrame(rows, "doc_id long, text string"), rows
+
+
+def _jaccard(a: str, b: str, n=3) -> float:
+    def sh(t):
+        toks = t.split()
+        return {" ".join(toks[i:i + n]) for i in range(max(len(toks) - n + 1, 1))}
+    sa, sb = sh(a), sh(b)
+    return len(sa & sb) / len(sa | sb)
+
+
+def test_exact_dedup_counts(spark):
+    rows = [(1, "aa bb"), (2, "aa bb"), (3, "cc dd"), (4, "aa bb")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["n_copies"] for r in D.exact_dedup(df).collect()}
+    assert got == {1: 3, 3: 1}
+
+
+def test_ngram_jaccard_exact_values(spark):
+    df, rows = _mk_docs(spark, n_base=15, n_dups=5)
+    texts = dict(rows)
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(df, n=3).collect()
+    }
+    # every computed pair matches the python oracle (rounded 4)
+    for (a, b), j in got.items():
+        assert abs(j - round(_jaccard(texts[a], texts[b]), 4)) < 1e-9
+    # planted near-dups present with high jaccard
+    for j in range(5):
+        assert got[(j, 1000 + j)] > 0.7
+
+
+def test_minhash_lsh_finds_planted_dups(spark):
+    df, _ = _mk_docs(spark)
+    cands = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.minhash_lsh_candidates(df, k=16, bands=4).collect()
+    }
+    found = sum((j, 1000 + j) in cands for j in range(10))
+    assert found >= 8, f"LSH recall too low: {found}/10"
+
+
+def test_minhash_dedup_removes_planted_dups(spark):
+    df, _ = _mk_docs(spark)
+    survivors = {r["doc_id"] for r in D.minhash_dedup(df, threshold=0.7).collect()}
+    # dominated copies (higher ids) mostly removed, all base docs kept
+    removed = {1000 + j for j in range(10)} - survivors
+    assert len(removed) >= 8
+    assert all(i in survivors for i in range(40))
+
+
+def test_simhash_identical_docs_collide(spark):
+    rows = [(1, "aa bb cc dd ee"), (2, "aa bb cc dd ee"), (3, "zz yy xx ww vv")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = {r["doc"]: r["simhash"] for r in D.simhash(df).collect()}
+    assert sh[1] == sh[2] != sh[3]
+    buckets = D.simhash_buckets(df).collect()
+    assert len(buckets) == 1 and buckets[0]["docs"] == [1, 2]
+
+
+def _mk_vectors(n=200, dim=16, n_dups=8, seed=9):
+    rng = np.random.default_rng(seed)
+    base = rng.standard_normal((n, dim)).astype(np.float32)
+    dups = base[:n_dups] + rng.standard_normal((n_dups, dim)).astype(np.float32) * 0.01
+    ids = list(range(n)) + [5000 + i for i in range(n_dups)]
+    vecs = np.vstack([base, dups])
+    return ids, vecs
+
+
+def test_embedding_neardup_finds_planted(spark):
+    ids, vecs = _mk_vectors()
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in zip(ids, vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    pairs = {
+        (r["vec_a"], r["vec_b"])
+        for r in D.embedding_neardup_pairs(df, threshold=0.98, n_planes=6).collect()
+    }
+    found = sum((i, 5000 + i) in pairs for i in range(8))
+    assert found >= 6, f"hyperplane-LSH recall too low: {found}/8"
+
+
+def test_cosine_topk_matches_numpy(spark):
+    ids, vecs = _mk_vectors(n=100, n_dups=0)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in zip(ids, vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    q = vecs[0].astype(np.float64)
+    unit = vecs.astype(np.float64)
+    unit = unit / np.linalg.norm(unit, axis=1, keepdims=True)
+    sims = unit @ (q / np.linalg.norm(q))
+    expect = sorted(zip(np.round(sims, 4), [-i for i in ids]), reverse=True)[:10]
+    expect_ids = [-i for _, i in expect]
+    got = [r["vec_id"] for r in SIM.cosine_topk(df, list(q), k=10).collect()]
+    assert got == expect_ids
+
+
+def test_ann_ivf_recall(spark):
+    ids, vecs = _mk_vectors(n=300, n_dups=0)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in zip(ids, vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    q = [float(x) for x in vecs[7]]
+    exact = {r["vec_id"] for r in SIM.cosine_topk(df, q, k=10).collect()}
+    approx = {
+        r["vec_id"]
+        for r in SIM.ann_topk_ivf(df, q, k=10, n_cells=8, n_probe=3).collect()
+    }
+    assert len(exact & approx) >= 5, f"IVF recall too low: {exact & approx}"
+
+
+@pytest.mark.parametrize("threshold", [0.5])
+def test_minhash_candidates_are_superset_of_high_jaccard(spark, threshold):
+    """LSH guarantee direction: truly-similar pairs should be candidates."""
+    df, rows = _mk_docs(spark, n_base=20, n_dups=6)
+    texts = dict(rows)
+    cands = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.minhash_lsh_candidates(df, k=16, bands=8).collect()
+    }
+    import itertools
+
+    high = {
+        (a, b)
+        for (a, ta), (b, tb) in itertools.combinations(sorted(texts.items()), 2)
+        if _jaccard(ta, tb) >= threshold
+    }
+    missed = high - cands
+    assert len(missed) <= max(1, len(high) // 5), f"missed {missed}"

@@ -14,7 +14,12 @@ def test_query_matches_oracle(spark, sf_dir, name):
     compare(spark, QUERIES[name], ORACLE[name], sf_dir)
 
 
-def test_all_queries_return_rows(spark, sf_dir):
-    for name, fn in QUERIES.items():
-        df = fn(spark, sf_dir)
-        assert df.columns, name
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLE)))
+def test_rows_only_queries_execute(spark, sf_dir, name):
+    """Entries without an oracle still must run and be deterministic
+    across two executions (the driver records a rows-only check)."""
+    df1 = QUERIES[name](spark, sf_dir)
+    df2 = QUERIES[name](spark, sf_dir)
+    r1 = sorted(map(str, df1.collect()))
+    r2 = sorted(map(str, df2.collect()))
+    assert r1 == r2, f"{name} nondeterministic"

@@ -1,0 +1,50 @@
+"""Streaming results must equal the batch computation on the same data."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fide_crawler_spark.queries import QUERIES
+from fide_crawler_spark.streaming.pipeline import (
+    read_events_stream,
+    run_to_memory,
+    running_totals_stateful,
+    windowed_counts,
+)
+
+
+def test_windowed_counts_match_batch(spark, sf_dir):
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    run_to_memory(windowed_counts(stream), "win_out", output_mode="complete")
+    got = {
+        (r["window_start"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM win_out").collect()
+    }
+    expect = {
+        (r["window_start"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in QUERIES["q28_tumbling_window"](spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
+def test_stateful_running_totals_match_batch(spark, sf_dir):
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    run_to_memory(running_totals_stateful(stream), "state_out", output_mode="update")
+    # last update per user is the final running total
+    got = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in spark.sql("SELECT * FROM state_out").collect()
+    }
+    batch = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total"),
+        )
+        .collect()
+    )
+    for r in batch:
+        n, total = got[r["user_id"]]
+        assert n == r["n"]
+        assert abs(total - r["total"]) < 1e-6
