@@ -1,0 +1,131 @@
+"""Scalable grouped/global rank — the 10^10-row form of row_number().
+
+``row_number().over(Window.partitionBy(g).orderBy(o))`` funnels each
+group through ONE task; with a single hot host (or a global rank, where
+the group is empty) that serializes the whole frontier.  This operator
+computes identical ranks in two fully-parallel passes:
+
+1. range-partition + local sort on (group, order) — Spark's scalable
+   sort (sampled boundaries, no single-task collapse);
+2. per-partition per-group row counts (tiny: ≤ groups-spanning-
+   boundaries + partitions entries) are collected, prefix-summed on the
+   driver, and broadcast back; a vectorized Arrow pass adds
+   ``rank = group_prefix_offset + local_position``.
+
+Correctness requires the (group, order) key to be TOTAL (no ties) —
+the engine's priority order always ends with the unique ``url``
+(frontier.priority_order).  Boundary sampling nondeterminism does not
+affect ranks: offsets are computed from the partitions actually
+produced.
+
+Equivalence to the window form is asserted in tests/test_rank.py.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_PID = "__pid"
+_GKEY = "__gkey"
+
+
+def grouped_rank(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[Column],
+    rank_col: str = "rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """1-based rank within each group (global rank if group_cols=[]),
+    ordered by ``order_cols`` — which must include a unique tie-break.
+    """
+    spark = df.sparkSession
+    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    sort_exprs = [F.col(g).asc() for g in group_cols] + list(order_cols)
+    gkey = (
+        F.concat_ws("\x1f", *[F.col(g).cast("string") for g in group_cols])
+        if group_cols
+        else F.lit("")
+    )
+    # persist() pins one physical layout: the two passes are separate
+    # jobs, and without it AQE may re-plan (coalesce) the range shuffle
+    # differently per job, shifting partition ids between pass 1 and 2.
+    sorted_df = (
+        df.repartitionByRange(p, *sort_exprs)
+        .sortWithinPartitions(*sort_exprs)
+        .withColumn(_PID, F.spark_partition_id())
+        .withColumn(_GKEY, gkey)
+        .persist()
+    )
+
+    # pass 1: per-(partition, group) counts — small, collected
+    def count_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counts: dict[tuple[int, str], int] = {}
+        for pdf in batches:
+            for (pid, gk), n in pdf.groupby([_PID, _GKEY], sort=False).size().items():
+                counts[(pid, gk)] = counts.get((pid, gk), 0) + int(n)
+        if counts:
+            yield pd.DataFrame(
+                [(pid, gk, n) for (pid, gk), n in counts.items()],
+                columns=["pid", "gkey", "n"],
+            )
+
+    stats = (
+        sorted_df.select(_PID, _GKEY)
+        .mapInPandas(count_partition, schema="pid int, gkey string, n long")
+        .collect()
+    )
+    # prefix offsets per group in partition order (range partitions are
+    # emitted in ascending key order)
+    running: dict[str, int] = {}
+    offsets: dict[tuple[int, str], int] = {}
+    for r in sorted(stats, key=lambda r: r["pid"]):
+        offsets[(r["pid"], r["gkey"])] = running.get(r["gkey"], 0)
+        running[r["gkey"]] = running.get(r["gkey"], 0) + r["n"]
+    off_bc = spark.sparkContext.broadcast(offsets)
+
+    out_schema = sorted_df.drop(_PID, _GKEY).schema.add(rank_col, "long")
+    ddl = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in out_schema)
+
+    # pass 2: attach rank = offset + local position (order within the
+    # partition is the sort order; batches arrive in order)
+    def attach(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        local: dict[str, int] = {}
+        off = off_bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pid = int(pdf[_PID].iloc[0])
+            ranks = []
+            for gk in pdf[_GKEY]:
+                pos = local.get(gk, 0)
+                local[gk] = pos + 1
+                ranks.append(off[(pid, gk)] + pos + 1)
+            out = pdf.drop(columns=[_PID, _GKEY]).copy()
+            out[rank_col] = ranks
+            yield out
+
+    # The cache must outlive the caller's action on the returned plan —
+    # Spark evicts to disk under pressure, and the cached set is only
+    # the ranked batch (politeness-bounded), never the whole frontier.
+    return sorted_df.mapInPandas(attach, schema=ddl)
+
+
+def grouped_topk(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[Column],
+    k: int,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Top-k per group without a per-group single-task sort: exact
+    grouped_rank (fully parallel) + filter ≤ k."""
+    ranked = grouped_rank(
+        df, group_cols, order_cols, rank_col="__grank",
+        num_partitions=num_partitions,
+    )
+    return ranked.filter(F.col("__grank") <= k).drop("__grank")

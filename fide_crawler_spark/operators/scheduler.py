@@ -29,9 +29,10 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from fide_crawler_spark.operators.frontier import with_priority_rank
+from fide_crawler_spark.operators.frontier import priority_order
 from fide_crawler_spark.operators.parse import parse_stage
-from fide_crawler_spark.operators.politeness import politeness_cap
+from fide_crawler_spark.operators.politeness import politeness_cap_scalable
+from fide_crawler_spark.operators.rank import grouped_rank
 from fide_crawler_spark.operators.urlseen import (
     PartitionedBloom,
     build_bloom,
@@ -105,16 +106,26 @@ class CrawlJob:
         seen = frontier.filter(F.col("status") == "fetched")
         candidates = filter_unseen(spark, pending, seen, bloom)
 
-        # politeness budget per host (skew-salted), then global priority rank
-        capped = politeness_cap(candidates, self.budget, self.n_salts)
-        batch = with_priority_rank(capped).persist()
+        # politeness budget per host (skew-proof grouped top-k), then
+        # global priority rank (scalable two-pass, operators/rank.py —
+        # a windowed rank over an empty partition spec would serialize
+        # the batch into one task)
+        capped = politeness_cap_scalable(candidates, self.budget)
+        batch = grouped_rank(capped, [], priority_order(), "rank").persist()
         n_batch = batch.count()
         if n_batch == 0:
             batch.unpersist()
             return {"epoch": e, "dequeued": 0, "done": True}
 
-        # fetch → parse; attach crawl-order + lineage columns
-        fetched = fetch_stage(batch, mode=self.fetch_mode).persist()
+        # fetch → parse; attach crawl-order + lineage columns.  The
+        # batch leaves the rank stage range-partitioned by priority —
+        # rebalance on url so fetch/parse Arrow workers use every core.
+        n_fetch_parts = int(
+            spark.conf.get("spark.sql.shuffle.partitions")
+        )
+        fetched = fetch_stage(
+            batch.repartition(n_fetch_parts, "url"), mode=self.fetch_mode
+        ).persist()
         docs = parse_stage(fetched)
         meta = batch.select(
             "url", "url_hash", "fide_id", "period", "seed_pos", "rank"

@@ -1,0 +1,71 @@
+"""grouped_rank must equal the window row_number form exactly."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from fide_crawler_spark.operators.rank import grouped_rank, grouped_topk
+
+
+def _df(spark, n=5000, hosts=3, seed=1):
+    rng = random.Random(seed)
+    rows = [
+        (f"h{rng.randrange(hosts)}", rng.randrange(100), f"u{i:06d}")
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "host string, pri int, url string")
+
+
+def test_global_rank_equals_window(spark):
+    df = _df(spark)
+    order = [F.col("pri").asc(), F.col("url").asc()]
+    got = {
+        r["url"]: r["rank"]
+        for r in grouped_rank(df, [], order, "rank").collect()
+    }
+    w = Window.orderBy("pri", "url")
+    expect = {
+        r["url"]: r["rank"]
+        for r in df.withColumn("rank", F.row_number().over(w)).collect()
+    }
+    assert got == expect
+
+
+def test_grouped_rank_equals_window(spark):
+    df = _df(spark)
+    order = [F.col("pri").desc(), F.col("url").asc()]
+    got = {
+        r["url"]: r["rank"]
+        for r in grouped_rank(df, ["host"], order, "rank").collect()
+    }
+    w = Window.partitionBy("host").orderBy(F.desc("pri"), F.asc("url"))
+    expect = {
+        r["url"]: r["rank"]
+        for r in df.withColumn("rank", F.row_number().over(w)).collect()
+    }
+    assert got == expect
+
+
+def test_grouped_topk_equals_window(spark):
+    df = _df(spark, n=2000)
+    order = [F.col("pri").asc(), F.col("url").asc()]
+    got = {r["url"] for r in grouped_topk(df, ["host"], order, k=7).collect()}
+    w = Window.partitionBy("host").orderBy("pri", "url")
+    expect = {
+        r["url"]
+        for r in df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 7)
+        .collect()
+    }
+    assert got == expect
+
+
+def test_rank_stable_across_partitionings(spark):
+    df = _df(spark, n=3000)
+    order = [F.col("pri").asc(), F.col("url").asc()]
+    a = grouped_rank(df, ["host"], order, "rank", num_partitions=2).collect()
+    b = grouped_rank(df, ["host"], order, "rank", num_partitions=17).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
