@@ -65,7 +65,7 @@ class Span:
     offset: int
 
 
-def synth_spans(doc_id: str) -> list[Span]:
+def synth_spans(doc_id: str, weight: int = 1) -> list[Span]:
     """The ground-truth span sequence for a document (FIXTURES.md §1).
 
     Per doc: 1-3 tournament blocks; each block = 1 header text span +
@@ -75,6 +75,11 @@ def synth_spans(doc_id: str) -> list[Span]:
     span (color icon per data_fetching_processing.py:159-162); an empty
     delimiter text span between blocks (mirrors the all-null limiter
     rows at :154-155).
+
+    ``weight`` scales the number of tournament blocks (page size) — the
+    benchmark uses it to model realistic page weights (a real FIDE calc
+    page carries far more markup than the weight-1 test fixture); all
+    correctness tests use the default weight=1.
     """
     rng = random.Random(stable_seed(doc_id))
     spans: list[Span] = []
@@ -85,7 +90,7 @@ def synth_spans(doc_id: str) -> list[Span]:
         spans.append(Span(kind, text, media_ref, off))
         off += 1
 
-    n_blocks = rng.randint(1, 3)
+    n_blocks = rng.randint(1, 3) * weight
     player_rating = rng.randint(2400, 2850)
     for b in range(n_blocks):
         if b > 0:
@@ -119,7 +124,7 @@ def synth_spans(doc_id: str) -> list[Span]:
     return spans
 
 
-def render_page(doc_id: str) -> str:
+def render_page(doc_id: str, weight: int = 1) -> str:
     """Serialize the ground-truth spans into an HTML-ish page.
 
     This is what the synthetic fetcher returns; ``parse_page`` must
@@ -127,7 +132,7 @@ def render_page(doc_id: str) -> str:
     format so parsing is deterministic.
     """
     lines = [f"<html><body><!-- {doc_id} -->"]
-    for s in synth_spans(doc_id):
+    for s in synth_spans(doc_id, weight):
         if s.kind == "media":
             lines.append(f'<img src="{s.media_ref}">')
         else:

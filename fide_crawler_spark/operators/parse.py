@@ -61,6 +61,83 @@ def parse_stage(fetched: DataFrame) -> DataFrame:
     return fetched.mapInPandas(run, schema=SPANS_SCHEMA)
 
 
+FUSED_META_COLS = ["url_hash", "fide_id", "period", "seed_pos", "rank"]
+
+
+def fetch_parse_stage(
+    batch: DataFrame, mode: str = "synthetic", weight: int = 1
+) -> DataFrame:
+    """Fused fetch+parse: one Arrow round-trip from frontier row to span
+    document — the steady-state hot path of the crawler.
+
+    Design notes for scale (these each showed up as real costs at the
+    50k-URL/26M-span bench size):
+
+    * fetch and parse share one ``mapInPandas`` stage, so the raw page
+      body lives only inside the Python worker — it is never serialized
+      into a Spark column, cached, or shuffled;
+    * frontier metadata columns pass straight through the stage —
+      no join to re-attach them to parsed docs;
+    * spans leave Python as four aligned primitive arrays
+      (list<string>/list<int> — cheap Arrow conversion) and are zipped
+      into the contract's array<struct> shape by a JVM ``arrays_zip``
+      + ``transform``, avoiding per-span Python dict construction;
+    * failed fetches yield empty span arrays with status='failed' so the
+      scheduler can bump retry_count without a second bookkeeping path.
+    """
+    from fide_crawler_spark.sources.fetcher import _http_fetch_batch
+    from fide_crawler_spark.fixtures import render_page
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            kinds, texts, refs, offs, statuses = [], [], [], [], []
+            if mode == "synthetic":
+                pages = [render_page(u, weight) for u in pdf["url"]]
+                page_status = ["fetched"] * len(pages)
+            else:
+                fetched = _http_fetch_batch(pdf["url"])
+                pages, page_status = fetched["page"], list(fetched["status"])
+            for page, st in zip(pages, page_status):
+                if st != "fetched":
+                    kinds.append([]); texts.append([]); refs.append([]); offs.append([])
+                    statuses.append(st)
+                    continue
+                spans = parse_page(page)
+                kinds.append([s[0] for s in spans])
+                texts.append([s[1] for s in spans])
+                refs.append([s[2] for s in spans])
+                offs.append([s[3] for s in spans])
+                statuses.append("fetched")
+            out = pdf.rename(columns={"url": "doc_id"}).copy()
+            out["status"] = statuses
+            out["_kinds"], out["_texts"] = kinds, texts
+            out["_refs"], out["_offs"] = refs, offs
+            yield out
+
+    in_schema = {f.name: f.dataType.simpleString() for f in batch.schema.fields}
+    meta_ddl = ", ".join(f"`{c}` {in_schema[c]}" for c in FUSED_META_COLS)
+    raw = batch.select("url", *FUSED_META_COLS).mapInPandas(
+        run,
+        schema=(
+            f"doc_id string, {meta_ddl}, status string, "
+            "_kinds array<string>, _texts array<string>, "
+            "_refs array<string>, _offs array<int>"
+        ),
+    )
+    spans = F.transform(
+        F.arrays_zip("_kinds", "_texts", "_refs", "_offs"),
+        lambda s: F.struct(
+            s["_kinds"].alias("kind"),
+            s["_texts"].alias("text"),
+            s["_refs"].alias("media_ref"),
+            s["_offs"].alias("offset"),
+        ),
+    )
+    return raw.withColumn("spans", spans).drop("_kinds", "_texts", "_refs", "_offs")
+
+
 def explode_spans(docs: DataFrame) -> DataFrame:
     """(doc_id, spans) → flat (doc_id, kind, text, media_ref, offset)."""
     return docs.select(

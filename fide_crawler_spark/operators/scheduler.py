@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from fide_crawler_spark.operators.frontier import priority_order
-from fide_crawler_spark.operators.parse import parse_stage
+from fide_crawler_spark.operators.parse import fetch_parse_stage
 from fide_crawler_spark.operators.politeness import politeness_cap_scalable
 from fide_crawler_spark.operators.rank import grouped_rank
 from fide_crawler_spark.operators.urlseen import (
@@ -38,7 +38,6 @@ from fide_crawler_spark.operators.urlseen import (
     build_bloom,
     filter_unseen,
 )
-from fide_crawler_spark.sources.fetcher import fetch_stage
 from fide_crawler_spark.sources.snapshot import SnapshotTable
 
 BLOOM_STATE = "urlseen-bloom.bin"
@@ -61,6 +60,7 @@ class CrawlJob:
         budget_per_host: int = 64,
         n_salts: int = 8,
         fetch_mode: str = "synthetic",
+        page_weight: int = 1,
         bloom_bits_per_part: int = 1 << 20,
         bloom_parts: int = 8,
     ):
@@ -69,6 +69,7 @@ class CrawlJob:
         self.budget = budget_per_host
         self.n_salts = n_salts
         self.fetch_mode = fetch_mode
+        self.page_weight = page_weight
         self.bloom_parts = bloom_parts
         self.bloom_bits = bloom_bits_per_part
         self.frontier_tbl = SnapshotTable(os.path.join(workdir, "frontier"))
@@ -117,29 +118,65 @@ class CrawlJob:
             batch.unpersist()
             return {"epoch": e, "dequeued": 0, "done": True}
 
-        # fetch → parse; attach crawl-order + lineage columns.  The
-        # batch leaves the rank stage range-partitioned by priority —
-        # rebalance on url so fetch/parse Arrow workers use every core.
-        n_fetch_parts = int(
-            spark.conf.get("spark.sql.shuffle.partitions")
+        # fused fetch+parse (one Arrow round-trip, meta passthrough, no
+        # join — see parse.fetch_parse_stage).  The batch leaves the
+        # rank stage range-partitioned by priority — rebalance on url so
+        # the fetch/parse Arrow workers use every core.
+        n_fetch_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        docs_all = fetch_parse_stage(
+            batch.repartition(n_fetch_parts, "url"),
+            mode=self.fetch_mode,
+            weight=self.page_weight,
         )
-        fetched = fetch_stage(
-            batch.repartition(n_fetch_parts, "url"), mode=self.fetch_mode
-        ).persist()
-        docs = parse_stage(fetched)
-        meta = batch.select(
-            "url", "url_hash", "fide_id", "period", "seed_pos", "rank"
-        )
-        docs = (
-            docs.join(meta, docs.doc_id == meta.url, "inner")
-            .drop("url")
+        docs_ok = (
+            docs_all.filter(F.col("status") == "fetched")
+            .drop("status")
+            .withColumnRenamed("rank", "crawl_rank")
             .withColumn("epoch", F.lit(e))
-            .withColumn("crawl_rank", F.col("rank"))
-            .drop("rank")
         )
 
-        # frontier state transition: fetched / failed(retry++) / untouched
-        outcome = fetched.select("url", F.col("status").alias("_new_status"))
+        # single materialization: commit the span snapshot; exact
+        # metrics + per-file lineage come from the written files
+        # (Iceberg manifest-stats pattern)
+        def finalize(data_path: str):
+            per_file = (
+                spark.read.parquet(data_path)
+                .groupBy(F.input_file_name().alias("file"))
+                .agg(F.count(F.lit(1)).alias("docs"), F.sum(F.size("spans")).alias("spans"))
+                .collect()
+            )
+            lineage = [
+                {
+                    "file": os.path.basename(r["file"]),
+                    "docs": int(r["docs"]),
+                    "spans": int(r["spans"]),
+                }
+                for r in per_file
+            ]
+            n = sum(x["docs"] for x in lineage)
+            return {"epoch": e, "docs": n}, lineage
+
+        docs_snap = self.docs_tbl.commit(docs_ok, mode="append", finalize=finalize)
+        docs_manifest = self.docs_tbl.manifest(docs_snap)
+        n_fetched = int(docs_manifest["metrics"]["docs"])
+        n_failed = n_batch - n_fetched
+        lineage = docs_manifest["lineage"]
+
+        # frontier state transition from the committed snapshot: fetched
+        # keys = this epoch's written doc_ids; dequeued-but-missing rows
+        # failed → retry_count+1, stay pending
+        epoch_dir = os.path.join(self.docs_tbl.root, f"snap-{docs_snap:05d}/data")
+        fetched_keys = (
+            spark.read.parquet(epoch_dir)
+            .select(F.col("doc_id").alias("url"))
+            .withColumn("_new_status", F.lit("fetched"))
+        )
+        failed_keys = (
+            batch.select("url")
+            .join(fetched_keys.select("url"), "url", "left_anti")
+            .withColumn("_new_status", F.lit("failed"))
+        )
+        outcome = fetched_keys.unionByName(failed_keys)
         new_frontier = (
             frontier.join(outcome, "url", "left")
             .withColumn(
@@ -161,32 +198,16 @@ class CrawlJob:
         )
 
         # Bloom maintenance: distributed partial build over this epoch's
-        # fetched hashes, OR-merged into the running filter
-        ok_urls = fetched.filter(F.col("status") == "fetched").select("url")
-        epoch_hashes = ok_urls.select(F.xxhash64("url").alias("url_hash"))
+        # fetched hashes (from the committed files), OR-merged
         epoch_bloom = build_bloom(
-            epoch_hashes, "url_hash", self.bloom_parts, self.bloom_bits
+            fetched_keys.select(F.xxhash64("url").alias("url_hash")),
+            "url_hash", self.bloom_parts, self.bloom_bits,
         )
         bloom.merge(epoch_bloom)
 
-        # per-partition lineage (north rule: lineage + metrics per epoch)
-        lineage = [
-            {"partition": int(r["pid"]), "docs": int(r["n"])}
-            for r in docs.groupBy(F.spark_partition_id().alias("pid"))
-            .count().withColumnRenamed("count", "n").collect()
-        ]
-        n_fetched = fetched.filter(F.col("status") == "fetched").count()
-        n_failed = n_batch - n_fetched
-
-        # commit point: documents append first, then frontier+bloom.
-        # A crash between the two re-fetches the epoch on resume and
-        # re-appends — dedup on (doc_id) keep-lowest-epoch makes the
-        # read side idempotent (read_documents).
-        self.docs_tbl.commit(
-            docs, mode="append",
-            metrics={"epoch": e, "docs": n_fetched}, lineage=lineage,
-        )
-        n_pending = new_frontier.filter(F.col("status") == "pending").count()
+        # pending after this epoch = previous pending − fetched (failed
+        # rows stay pending); derived from metrics to save a recompute
+        n_pending = self.pending_count() - n_fetched
         self.frontier_tbl.commit(
             new_frontier,
             metrics={
@@ -200,7 +221,6 @@ class CrawlJob:
             lineage=lineage,
         )
         batch.unpersist()
-        fetched.unpersist()
         return {
             "epoch": e,
             "dequeued": n_batch,

@@ -44,6 +44,9 @@ class PartitionedBloom:
     MAGIC = b"PBF1"
 
     def __init__(self, n_parts: int = 8, bits_per_part: int = 1 << 20, k: int = 5):
+        # power-of-2 so signed pmod (Spark) and uint64 modulo (numpy)
+        # agree on part assignment for the same 64-bit pattern
+        assert n_parts & (n_parts - 1) == 0, "n_parts must be a power of 2"
         self.n_parts = n_parts
         self.bits = bits_per_part
         self.k = k
@@ -111,23 +114,39 @@ def build_bloom(
     df: DataFrame, hash_col: str = "url_hash",
     n_parts: int = 8, bits_per_part: int = 1 << 20, k: int = 5,
 ) -> PartitionedBloom:
-    """Distributed build: per-task partial filters OR-merged on the
-    driver.  Only filter bytes cross the wire — never the hashes.
-    """
-    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        bf = PartitionedBloom(n_parts, bits_per_part, k)
-        seen_any = False
-        for pdf in batches:
-            if len(pdf):
-                seen_any = True
-                bf.add_hashes(pdf[hash_col].to_numpy().astype(np.uint64))
-        if seen_any:
-            yield pd.DataFrame({"blob": [bf.to_bytes()]})
+    """Distributed build, co-partitioned with the filter: hashes are
+    shuffled by sub-filter id (``hash % n_parts``) so each task builds
+    only its own part(s) and ships exactly those bytes — total traffic
+    = one filter (n_parts × bits/8), independent of task count, never
+    the hashes."""
+    part_bytes = bits_per_part // 8
 
-    partials = df.select(hash_col).mapInPandas(partial, schema="blob binary").collect()
+    def build_parts(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        local: dict[int, PartitionedBloom] = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            hashes = pdf[hash_col].to_numpy().astype(np.uint64)
+            pids = (hashes % np.uint64(n_parts)).astype(np.int64)
+            for pid in np.unique(pids):
+                bf = local.setdefault(
+                    int(pid), PartitionedBloom(n_parts, bits_per_part, k)
+                )
+                bf.add_hashes(hashes[pids == pid])
+        for pid, bf in local.items():
+            yield pd.DataFrame({"part": [pid], "blob": [bf.parts[pid].tobytes()]})
+
+    rows = (
+        df.select(F.col(hash_col).cast("long").alias(hash_col))
+        .repartition(n_parts, F.pmod(F.col(hash_col), F.lit(n_parts)))
+        .mapInPandas(build_parts, schema="part int, blob binary")
+        .collect()
+    )
     merged = PartitionedBloom(n_parts, bits_per_part, k)
-    for row in partials:
-        merged.merge(PartitionedBloom.from_bytes(bytes(row.blob)))
+    for row in rows:
+        arr = np.frombuffer(bytes(row.blob), dtype=np.uint8)
+        assert arr.size == part_bytes
+        np.bitwise_or(merged.parts[int(row.part)], arr, out=merged.parts[int(row.part)])
     return merged
 
 

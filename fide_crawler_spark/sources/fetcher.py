@@ -30,8 +30,8 @@ from fide_crawler_spark.fixtures import render_page
 FETCH_SCHEMA = "url string, status string, page string"
 
 
-def _synthetic_fetch_batch(urls: pd.Series) -> pd.DataFrame:
-    pages = [render_page(u) for u in urls]
+def _synthetic_fetch_batch(urls: pd.Series, weight: int = 1) -> pd.DataFrame:
+    pages = [render_page(u, weight) for u in urls]
     return pd.DataFrame({"url": urls, "status": "fetched", "page": pages})
 
 
@@ -50,7 +50,9 @@ def _http_fetch_batch(urls: pd.Series, timeout: float = 10.0) -> pd.DataFrame:
     return pd.DataFrame({"url": urls, "status": statuses, "page": pages})
 
 
-def fetch_stage(frontier_batch: DataFrame, mode: str = "synthetic") -> DataFrame:
+def fetch_stage(
+    frontier_batch: DataFrame, mode: str = "synthetic", weight: int = 1
+) -> DataFrame:
     """frontier rows (must contain ``url``) → (url, status, page).
 
     One Arrow round-trip per partition; page bodies never touch the
@@ -58,7 +60,10 @@ def fetch_stage(frontier_batch: DataFrame, mode: str = "synthetic") -> DataFrame
     politeness stage produced (per-host salted groups), so connection
     reuse per host falls out naturally.
     """
-    fetch = _synthetic_fetch_batch if mode == "synthetic" else _http_fetch_batch
+    if mode == "synthetic":
+        fetch = lambda urls: _synthetic_fetch_batch(urls, weight)  # noqa: E731
+    else:
+        fetch = _http_fetch_batch
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -82,6 +82,7 @@ class SnapshotTable:
         metrics: dict | None = None,
         state: dict[str, bytes] | None = None,
         lineage: list[dict] | None = None,
+        finalize=None,
     ) -> int:
         """Atomically publish the next snapshot.
 
@@ -90,6 +91,12 @@ class SnapshotTable:
         ``df=None`` publishes a metadata-only snapshot (state/metrics
         update, data carried forward).  Manifest rename is the commit
         point.
+
+        ``finalize(staged_data_path) -> (extra_metrics, lineage)`` runs
+        after the data files are staged but before the manifest rename —
+        the Iceberg pattern of deriving manifest stats from the written
+        files, so metrics/lineage are exact without re-materializing the
+        input plan.
         """
         prev = self.latest()
         snap = 0 if prev is None else prev + 1
@@ -106,6 +113,10 @@ class SnapshotTable:
         if df is not None:
             df.write.mode("overwrite").parquet(os.path.join(stage, "data"))
             data_paths.append(rel)
+            if finalize is not None:
+                extra, fin_lineage = finalize(os.path.join(stage, "data"))
+                metrics = {**(metrics or {}), **extra}
+                lineage = fin_lineage if fin_lineage is not None else lineage
         elif mode != "append" and prev is not None:
             data_paths.extend(self.manifest(prev)["data_paths"])
 
