@@ -129,3 +129,100 @@ def grouped_topk(
         num_partitions=num_partitions,
     )
     return ranked.filter(F.col("__grank") <= k).drop("__grank")
+
+
+def dequeue_rank(
+    df: DataFrame,
+    host_col: str,
+    order_cols: list[Column],
+    budget_per_host: int,
+    rank_col: str = "rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Fused politeness cap + global crawl rank in ONE sorted pass.
+
+    The epoch dequeue needs two ranks over the same priority order:
+    row_number per host (to enforce the politeness budget) and
+    row_number over the surviving rows (the crawl order).  Running
+    grouped_rank twice costs two range shuffles and two cached
+    materializations; this computes both from a single layout:
+
+    * pass 1 collects per-(partition, host) counts;
+    * the driver derives per-host prefix offsets AND, from
+      ``min(count, max(0, budget - host_prefix))``, the number of
+      budget-surviving rows in every partition → global survivor
+      offsets;
+    * pass 2 walks each partition once, keeps rows whose within-host
+      position ≤ budget, and assigns ``rank = survivor_offset +
+      local_survivor_position``.
+
+    Output = politeness_cap_scalable(...) + grouped_rank(...) exactly
+    (asserted in tests/test_rank.py), at half the shuffle cost.
+    """
+    spark = df.sparkSession
+    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    sorted_df = (
+        df.repartitionByRange(p, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn(_PID, F.spark_partition_id())
+        .withColumn(_GKEY, F.col(host_col).cast("string"))
+        .persist()
+    )
+
+    def count_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counts: dict[tuple[int, str], int] = {}
+        for pdf in batches:
+            for (pid, gk), n in pdf.groupby([_PID, _GKEY], sort=False).size().items():
+                counts[(pid, gk)] = counts.get((pid, gk), 0) + int(n)
+        if counts:
+            yield pd.DataFrame(
+                [(pid, gk, n) for (pid, gk), n in counts.items()],
+                columns=["pid", "gkey", "n"],
+            )
+
+    stats = (
+        sorted_df.select(_PID, _GKEY)
+        .mapInPandas(count_partition, schema="pid int, gkey string, n long")
+        .collect()
+    )
+    host_running: dict[str, int] = {}
+    host_off: dict[tuple[int, str], int] = {}
+    survivors_per_pid: dict[int, int] = {}
+    for r in sorted(stats, key=lambda r: r["pid"]):
+        pid, gk, n = r["pid"], r["gkey"], int(r["n"])
+        off = host_running.get(gk, 0)
+        host_off[(pid, gk)] = off
+        host_running[gk] = off + n
+        survive = min(n, max(0, budget_per_host - off))
+        survivors_per_pid[pid] = survivors_per_pid.get(pid, 0) + survive
+    global_off: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(survivors_per_pid):
+        global_off[pid] = acc
+        acc += survivors_per_pid[pid]
+    bc = spark.sparkContext.broadcast((host_off, global_off, budget_per_host))
+
+    out_schema = sorted_df.drop(_PID, _GKEY).schema.add(rank_col, "long")
+    ddl = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in out_schema)
+
+    def attach(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        h_off, g_off, budget = bc.value
+        local_host: dict[str, int] = {}
+        survivors_seen = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pid = int(pdf[_PID].iloc[0])
+            keep_idx, ranks = [], []
+            for i, gk in enumerate(pdf[_GKEY]):
+                pos = local_host.get(gk, 0)
+                local_host[gk] = pos + 1
+                if h_off[(pid, gk)] + pos < budget:
+                    keep_idx.append(i)
+                    survivors_seen += 1
+                    ranks.append(g_off[pid] + survivors_seen)
+            out = pdf.iloc[keep_idx].drop(columns=[_PID, _GKEY]).copy()
+            out[rank_col] = ranks
+            yield out
+
+    return sorted_df.mapInPandas(attach, schema=ddl)

@@ -31,8 +31,7 @@ from pyspark.sql import functions as F
 
 from fide_crawler_spark.operators.frontier import priority_order
 from fide_crawler_spark.operators.parse import fetch_parse_stage
-from fide_crawler_spark.operators.politeness import politeness_cap_scalable
-from fide_crawler_spark.operators.rank import grouped_rank
+from fide_crawler_spark.operators.rank import dequeue_rank
 from fide_crawler_spark.operators.urlseen import (
     PartitionedBloom,
     build_bloom,
@@ -83,9 +82,10 @@ class CrawlJob:
         if "url_hash" not in frontier.columns:
             frontier = frontier.withColumn("url_hash", F.xxhash64("url"))
         bloom = PartitionedBloom(self.bloom_parts, self.bloom_bits)
+        n = frontier.count()
         self.frontier_tbl.commit(
             frontier,
-            metrics={"epoch": -1, "pending": frontier.count()},
+            metrics={"epoch": -1, "pending": n, "total": n},
             state={BLOOM_STATE: bloom.to_bytes()},
         )
 
@@ -102,17 +102,23 @@ class CrawlJob:
         frontier = self.frontier_tbl.read(spark)
         pending = frontier.filter(F.col("status") == "pending")
 
-        # URL-seen: Bloom pre-pass over fetched set, exact anti-join backstop
+        # URL-seen: Bloom pre-pass over fetched set, exact anti-join
+        # backstop.  Skipped while the seen set is provably empty (no
+        # successful fetch yet, per snapshot metrics).
+        m = self.frontier_tbl.manifest()["metrics"]
         bloom = PartitionedBloom.from_bytes(self.frontier_tbl.state(BLOOM_STATE))
-        seen = frontier.filter(F.col("status") == "fetched")
-        candidates = filter_unseen(spark, pending, seen, bloom)
+        if int(m.get("total", -1)) == int(m["pending"]):
+            candidates = pending
+        else:
+            seen = frontier.filter(F.col("status") == "fetched")
+            candidates = filter_unseen(spark, pending, seen, bloom)
 
-        # politeness budget per host (skew-proof grouped top-k), then
-        # global priority rank (scalable two-pass, operators/rank.py —
-        # a windowed rank over an empty partition spec would serialize
-        # the batch into one task)
-        capped = politeness_cap_scalable(candidates, self.budget)
-        batch = grouped_rank(capped, [], priority_order(), "rank").persist()
+        # fused dequeue: politeness budget per host + global crawl rank
+        # in one sorted pass (operators/rank.py dequeue_rank — a
+        # windowed rank would serialize the batch into one task)
+        batch = dequeue_rank(
+            candidates, "host", priority_order(), self.budget, "rank"
+        ).persist()
         n_batch = batch.count()
         if n_batch == 0:
             batch.unpersist()
@@ -216,6 +222,7 @@ class CrawlJob:
                 "fetched": n_fetched,
                 "failed": n_failed,
                 "pending": n_pending,
+                "total": int(m.get("total", -1)),
             },
             state={BLOOM_STATE: bloom.to_bytes()},
             lineage=lineage,

@@ -69,3 +69,26 @@ def test_rank_stable_across_partitionings(spark):
     a = grouped_rank(df, ["host"], order, "rank", num_partitions=2).collect()
     b = grouped_rank(df, ["host"], order, "rank", num_partitions=17).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_dequeue_rank_equals_two_pass(spark):
+    from fide_crawler_spark.operators.rank import dequeue_rank
+
+    df = _df(spark, n=4000, hosts=4, seed=2)
+    order = [F.col("pri").asc(), F.col("url").asc()]
+    fused = {
+        r["url"]: r["rank"]
+        for r in dequeue_rank(df, "host", order, budget_per_host=300).collect()
+    }
+    w_host = Window.partitionBy("host").orderBy("pri", "url")
+    capped = (
+        df.withColumn("hr", F.row_number().over(w_host))
+        .filter(F.col("hr") <= 300)
+        .drop("hr")
+    )
+    w_all = Window.orderBy("pri", "url")
+    expect = {
+        r["url"]: r["rank"]
+        for r in capped.withColumn("rank", F.row_number().over(w_all)).collect()
+    }
+    assert fused == expect
