@@ -930,3 +930,26 @@ def q34_minhash_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .orderBy("doc_id")
     )
+
+
+@query("q35_crawl_to_analytics")
+def q35_crawl_to_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end crawl pipeline as a query (rows-only; the pytest
+    sequential oracle is its correctness gate): seed frontier → epoch
+    scheduler (politeness, bloom, snapshots) → interleaved span docs →
+    relational game_history view → last-3-tournaments analytics."""
+    import tempfile
+
+    from fide_crawler_spark.fixtures import seed_frontier_rows
+    from fide_crawler_spark.operators.games import last3_tournaments
+    from fide_crawler_spark.operators.parse import game_history_view
+    from fide_crawler_spark.operators.scheduler import CrawlJob
+
+    rows = seed_frontier_rows(["1503014", "2020009"], "2023-01-01", 4)
+    wd = tempfile.mkdtemp(prefix="q35_crawl_")
+    job = CrawlJob(spark, wd, budget_per_host=4, n_salts=2)
+    job.init(spark.createDataFrame(rows))
+    job.run()
+    docs = job.read_documents().select("doc_id", "spans")
+    gh = game_history_view(docs).withColumn("id", F.col("offset").cast("long"))
+    return last3_tournaments(gh).orderBy("fide_id", "tournament_name", "date")
