@@ -37,6 +37,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from fide_crawler_spark.session import get_spark, stop_spark  # noqa: E402
 
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
+
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 CRAWL_SEEDS = int(os.environ.get("BENCH_CRAWL_SEEDS", "2400"))
@@ -105,7 +107,7 @@ def crawl_run(cores: int) -> dict:
         dt = time.time() - t0
         n_spans = sum(x["spans"] for x in job.docs_tbl.manifest()["lineage"])
         checksum = job.docs_tbl.read(spark).selectExpr(
-            "sum(crc32(concat_ws('|', doc_id, cast(size(spans) as string)))) AS c"
+            "sum(crc32(concat_ws('|', doc_id, cast(n_spans as string)))) AS c"
         ).first()["c"]
     finally:
         shutil.rmtree(wd, ignore_errors=True)

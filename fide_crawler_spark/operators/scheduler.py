@@ -139,6 +139,9 @@ class CrawlJob:
             .drop("status")
             .withColumnRenamed("rank", "crawl_rank")
             .withColumn("epoch", F.lit(e))
+            # precomputed so metadata queries (lineage, bench checksums)
+            # never have to re-read the nested spans column
+            .withColumn("n_spans", F.size("spans"))
         )
 
         # single materialization: commit the span snapshot; exact
@@ -148,7 +151,7 @@ class CrawlJob:
             per_file = (
                 spark.read.parquet(data_path)
                 .groupBy(F.input_file_name().alias("file"))
-                .agg(F.count(F.lit(1)).alias("docs"), F.sum(F.size("spans")).alias("spans"))
+                .agg(F.count(F.lit(1)).alias("docs"), F.sum("n_spans").alias("spans"))
                 .collect()
             )
             lineage = [

@@ -44,6 +44,10 @@ def get_spark(
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        # span documents are wide nested rows (~1k structs at realistic
+        # page weight); the default 4096-row reader batch OOMs on them
+        .config("spark.sql.parquet.columnarReaderBatchSize", "1024")
         .config("spark.driver.extraJavaOptions", "-Djava.io.tmpdir=/tmp")
     )
     for k, v in (extra_conf or {}).items():
