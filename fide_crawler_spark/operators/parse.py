@@ -88,33 +88,39 @@ def fetch_parse_stage(
     from fide_crawler_spark.sources.fetcher import _http_fetch_batch
     from fide_crawler_spark.fixtures import render_page
 
+    # Stream output in small url-chunks: a task's whole partition of
+    # parsed spans held as Python lists is GBs at realistic page weight
+    # — across 32 concurrent workers that swaps the host.  Chunked
+    # yields bound per-worker residency to ~chunk × page_spans.
+    chunk_rows = max(16, 4096 // max(weight, 1))
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not len(pdf):
-                continue
-            kinds, texts, refs, offs, statuses = [], [], [], [], []
-            if mode == "synthetic":
-                pages = [render_page(u, weight) for u in pdf["url"]]
-                page_status = ["fetched"] * len(pages)
-            else:
-                fetched = _http_fetch_batch(pdf["url"])
-                pages, page_status = fetched["page"], list(fetched["status"])
-            for page, st in zip(pages, page_status):
-                if st != "fetched":
-                    kinds.append([]); texts.append([]); refs.append([]); offs.append([])
-                    statuses.append(st)
-                    continue
-                spans = parse_page(page)
-                kinds.append([s[0] for s in spans])
-                texts.append([s[1] for s in spans])
-                refs.append([s[2] for s in spans])
-                offs.append([s[3] for s in spans])
-                statuses.append("fetched")
-            out = pdf.rename(columns={"url": "doc_id"}).copy()
-            out["status"] = statuses
-            out["_kinds"], out["_texts"] = kinds, texts
-            out["_refs"], out["_offs"] = refs, offs
-            yield out
+            for lo in range(0, len(pdf), chunk_rows):
+                part = pdf.iloc[lo:lo + chunk_rows]
+                kinds, texts, refs, offs, statuses = [], [], [], [], []
+                if mode == "synthetic":
+                    pages = [render_page(u, weight) for u in part["url"]]
+                    page_status = ["fetched"] * len(pages)
+                else:
+                    fetched = _http_fetch_batch(part["url"])
+                    pages, page_status = fetched["page"], list(fetched["status"])
+                for page, st in zip(pages, page_status):
+                    if st != "fetched":
+                        kinds.append([]); texts.append([]); refs.append([]); offs.append([])
+                        statuses.append(st)
+                        continue
+                    spans = parse_page(page)
+                    kinds.append([s[0] for s in spans])
+                    texts.append([s[1] for s in spans])
+                    refs.append([s[2] for s in spans])
+                    offs.append([s[3] for s in spans])
+                    statuses.append("fetched")
+                out = part.rename(columns={"url": "doc_id"}).copy()
+                out["status"] = statuses
+                out["_kinds"], out["_texts"] = kinds, texts
+                out["_refs"], out["_offs"] = refs, offs
+                yield out
 
     in_schema = {f.name: f.dataType.simpleString() for f in batch.schema.fields}
     meta_ddl = ", ".join(f"`{c}` {in_schema[c]}" for c in FUSED_META_COLS)

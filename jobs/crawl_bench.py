@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""One pinned crawl-throughput run (invoked by bench.py per
+parallelism level).
+
+Pins the whole process tree (driver, JVM, Python workers) to the first
+``--cores`` CPUs via sched_setaffinity BEFORE the JVM starts, so
+``local[N]`` really means N CPUs — in unpinned local mode the Arrow
+python workers run on cores outside the executor-thread count, which
+silently inflates the small-N measurement and corrupts the N→4N
+scaling comparison.
+
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cores", type=int, required=True)
+    ap.add_argument("--seeds", type=int, default=1200)
+    ap.add_argument("--start", default="2018-01-01")
+    ap.add_argument("--end", default="2024-12-01")
+    ap.add_argument("--page-weight", type=int, default=32)
+    ap.add_argument("--no-pin", action="store_true")
+    args = ap.parse_args()
+
+    if not args.no_pin:
+        os.sched_setaffinity(0, set(range(args.cores)))
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
+
+    from fide_crawler_spark.operators.frontier import generate_frontier
+    from fide_crawler_spark.operators.scheduler import CrawlJob
+    from fide_crawler_spark.session import get_spark
+
+    spark = get_spark(f"crawl_bench_{args.cores}", cores=args.cores)
+    seeds = spark.createDataFrame(
+        [(str(1000000 + i), i) for i in range(args.seeds)],
+        "fide_id string, seed_pos int",
+    )
+    frontier = generate_frontier(seeds, args.start, args.end)
+    n_urls = frontier.count()
+    wd = tempfile.mkdtemp(prefix=f"crawl_bench_{args.cores}_")
+    try:
+        job = CrawlJob(
+            spark, wd,
+            budget_per_host=10 ** 9,
+            page_weight=args.page_weight,
+            bloom_bits_per_part=1 << 23,
+        )
+        job.init(frontier)
+        t0 = time.time()
+        stats = job.run_epoch()
+        dt = time.time() - t0
+        n_spans = sum(x["spans"] for x in job.docs_tbl.manifest()["lineage"])
+        checksum = job.docs_tbl.read(spark).selectExpr(
+            "sum(crc32(concat_ws('|', doc_id, cast(n_spans as string)))) AS c"
+        ).first()["c"]
+    finally:
+        shutil.rmtree(wd, ignore_errors=True)
+    print(
+        json.dumps(
+            {
+                "cores": args.cores,
+                "urls": n_urls,
+                "fetched": stats["fetched"],
+                "spans": n_spans,
+                "sec": round(dt, 2),
+                "urls_per_sec": round(n_urls / dt, 1),
+                "checksum": int(checksum),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,58 @@
+"""Plan-shape assertions: the queries must not just be right, they must
+carry the physical properties we designed for (pushdown, pruning,
+broadcast, codegen)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fide_crawler_spark.plans import (
+    codegen_stage_count,
+    count_exchanges,
+    has_broadcast_join,
+    has_pushed_filter,
+    read_schema_columns,
+)
+from fide_crawler_spark.queries import QUERIES, load
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    df = QUERIES["q3_filter_predicates"](spark, sf_dir)
+    assert has_pushed_filter(df, "o_orderstatus") or has_pushed_filter(df, "o_totalprice")
+
+
+def test_column_pruning(spark, sf_dir):
+    df = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_quantity")
+        .filter(F.col("l_quantity") > 10)
+    )
+    schemas = read_schema_columns(df)
+    assert schemas and all(len(s) <= 2 for s in schemas), schemas
+
+
+def test_dim_join_is_broadcast(spark, sf_dir):
+    df = QUERIES["q5_broadcast_join_revenue"](spark, sf_dir)
+    assert has_broadcast_join(df)
+
+
+def test_q1_is_single_shuffle(spark, sf_dir):
+    # scan → partial agg → exchange → final agg (+ order-by exchange):
+    # anything more means the plan regressed
+    df = QUERIES["q1_pricing_summary"](spark, sf_dir)
+    assert count_exchanges(df) <= 2, count_exchanges(df)
+
+
+def test_hot_path_is_codegen(spark, sf_dir):
+    df = QUERIES["q1_pricing_summary"](spark, sf_dir)
+    assert codegen_stage_count(df) >= 1
+
+
+def test_minhash_plan_has_no_python_udf(spark, sf_dir):
+    from fide_crawler_spark.plans import formatted_plan
+
+    df = QUERIES["q29_minhash_lsh_candidates"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, (
+        "minhash must stay JVM-side"
+    )
