@@ -953,3 +953,168 @@ def q35_crawl_to_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = job.read_documents().select("doc_id", "spans")
     gh = game_history_view(docs).withColumn("id", F.col("offset").cast("long"))
     return last3_tournaments(gh).orderBy("fide_id", "tournament_name", "date")
+
+
+@query(
+    "q36_pivot",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DECIMAL(38,4)) AS qty_o,
+           CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DECIMAL(38,4)) AS qty_f
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def q36_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide conditional aggregation)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .sum("l_quantity")
+        .select(
+            "l_returnflag",
+            F.col("O").cast("decimal(18,4)").cast("decimal(38,4)").alias("qty_o"),
+            F.col("F").cast("decimal(18,4)").cast("decimal(38,4)").alias("qty_f"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q37_except_intersect",
+    """
+    SELECT 'only_big' AS side, COUNT(*) AS n FROM (
+      SELECT o_custkey FROM orders WHERE o_totalprice > 800
+      EXCEPT
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    )
+    UNION ALL
+    SELECT 'both' AS side, COUNT(*) AS n FROM (
+      SELECT o_custkey FROM orders WHERE o_totalprice > 800
+      INTERSECT
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    )
+    ORDER BY side
+    """,
+)
+def q37_except_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations beyond the reference's unions: EXCEPT/INTERSECT."""
+    o = load(spark, sf_dir, "orders")
+    big = o.filter(F.col("o_totalprice") > 800).select("o_custkey")
+    ff = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    # SQL EXCEPT/INTERSECT are set semantics — subtract/intersect on
+    # the distinct key sets mirror them exactly
+    only_big = big.distinct().subtract(ff.distinct())
+    both = big.distinct().intersect(ff.distinct())
+    a = only_big.agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("only_big").alias("side"), "n"
+    )
+    b = both.agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("both").alias("side"), "n"
+    )
+    return a.unionByName(b).orderBy("side")
+
+
+@query(
+    "q38_approx_percentiles",
+    """
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.5), 4) AS p50,
+           ROUND(quantile_cont(value, 0.95), 4) AS p95,
+           ROUND(MIN(value), 4) AS vmin,
+           ROUND(MAX(value), 4) AS vmax
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q38_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles (percentile) — the approximate
+    variant (percentile_approx/t-digest) is the 100TB path; exact is
+    used here so the DuckDB oracle can match bit-for-bit."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+            F.round(F.min("value"), 4).alias("vmin"),
+            F.round(F.max("value"), 4).alias("vmax"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q39_cube",
+    """
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+)
+def q39_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+@query(
+    "q40_gap_analysis",
+    """
+    WITH bounds AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS db_min, MAX(CAST(ts AS DATE)) AS db_max
+      FROM events WHERE user_id < 10 GROUP BY user_id
+    ),
+    req AS (
+      SELECT user_id, DATE '2023-11-01' AS start_date, DATE '2024-03-01' AS end_date
+      FROM bounds
+    ),
+    months AS (
+      SELECT r.user_id,
+             CAST(UNNEST(
+               CASE WHEN b.db_min IS NULL THEN
+                 CASE WHEN date_trunc('month', r.start_date) <= r.end_date
+                      THEN generate_series(CAST(date_trunc('month', r.start_date) AS TIMESTAMP),
+                                           CAST(r.end_date AS TIMESTAMP), INTERVAL 1 MONTH)
+                      ELSE [] END
+               ELSE
+                 list_concat(
+                   CASE WHEN date_trunc('month', r.start_date) <= b.db_min - 1
+                        THEN generate_series(CAST(date_trunc('month', r.start_date) AS TIMESTAMP),
+                                             CAST(b.db_min - 1 AS TIMESTAMP), INTERVAL 1 MONTH)
+                        ELSE [] END,
+                   CASE WHEN date_trunc('month', b.db_max + 1) <= r.end_date
+                        THEN generate_series(CAST(date_trunc('month', b.db_max + 1) AS TIMESTAMP),
+                                             CAST(r.end_date AS TIMESTAMP), INTERVAL 1 MONTH)
+                        ELSE [] END)
+               END) AS DATE) AS period
+      FROM req r LEFT JOIN bounds b ON r.user_id = b.user_id
+    )
+    SELECT DISTINCT CAST(user_id AS VARCHAR) AS fide_id, period
+    FROM months ORDER BY fide_id, period
+    """,
+)
+def q40_gap_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cache-aware recrawl gap analysis (SURVEY §3.2,
+    data_fetching_processing.py:207-245) mapped onto events: per-user
+    cached [min,max] day range vs a requested window → months still to
+    crawl."""
+    from fide_crawler_spark.operators.recrawl import gap_analysis
+
+    e = load(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    bounds = e.groupBy(F.col("user_id").cast("string").alias("fide_id")).agg(
+        F.min(F.col("ts").cast("date")).alias("db_min"),
+        F.max(F.col("ts").cast("date")).alias("db_max"),
+    )
+    requests = bounds.select(
+        "fide_id",
+        F.to_date(F.lit("2023-11-01")).alias("start_date"),
+        F.to_date(F.lit("2024-03-01")).alias("end_date"),
+    )
+    return gap_analysis(requests, bounds)

@@ -1,0 +1,101 @@
+"""Gap analysis must reproduce the reference's cache-window logic
+(data_fetching_processing.py:207-245), including the mid-month edge."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from fide_crawler_spark.operators.recrawl import (
+    cached_bounds,
+    force_recrawl,
+    gap_analysis,
+)
+from fide_crawler_spark.operators.urlseen import CuckooFilter
+
+
+def oracle_months(start: str, end: str, db_min: str | None, db_max: str | None):
+    """Sequential reimplementation of the reference's driver logic."""
+
+    def walk(s: dt.date, e: dt.date):
+        cur = s.replace(day=1)
+        out = []
+        while cur <= e:
+            out.append(cur)
+            cur = (cur.replace(day=28) + dt.timedelta(days=4)).replace(day=1)
+        return out
+
+    d = dt.date.fromisoformat
+    if db_min is None:
+        return walk(d(start), d(end))
+    months = walk(d(start), d(db_min) - dt.timedelta(days=1))
+    months += walk(d(db_max) + dt.timedelta(days=1), d(end))
+    return sorted(set(months))
+
+
+CASES = [
+    # (start, end, db_min, db_max)
+    ("2023-01-01", "2023-12-01", None, None),              # empty cache
+    ("2023-01-01", "2023-12-01", "2023-04-15", "2023-08-20"),  # mid-month edges
+    ("2023-01-01", "2023-12-01", "2023-04-01", "2023-08-01"),  # month-start edges
+    ("2023-03-01", "2023-06-01", "2023-01-05", "2023-12-28"),  # fully cached
+    ("2023-01-01", "2023-03-01", "2023-02-01", "2023-09-01"),  # before-gap only
+    ("2023-06-01", "2023-12-01", "2023-01-01", "2023-08-15"),  # after-gap only
+]
+
+
+def test_gap_analysis_matches_oracle(spark):
+    req_rows, bound_rows, expected = [], [], {}
+    for i, (s, e, lo, hi) in enumerate(CASES):
+        fid = f"p{i}"
+        req_rows.append((fid, s, e))
+        if lo is not None:
+            bound_rows.append((fid, lo, hi))
+        expected[fid] = oracle_months(s, e, lo, hi)
+    requests = spark.createDataFrame(
+        req_rows, "fide_id string, start_date string, end_date string"
+    ).select(
+        "fide_id",
+        F.to_date("start_date").alias("start_date"),
+        F.to_date("end_date").alias("end_date"),
+    )
+    bounds = spark.createDataFrame(
+        bound_rows or [("_", "2000-01-01", "2000-01-01")],
+        "fide_id string, db_min string, db_max string",
+    ).select(
+        "fide_id",
+        F.to_date("db_min").alias("db_min"),
+        F.to_date("db_max").alias("db_max"),
+    )
+    got: dict[str, list] = {f"p{i}": [] for i in range(len(CASES))}
+    for r in gap_analysis(requests, bounds).collect():
+        got[r["fide_id"]].append(r["period"])
+    for fid in expected:
+        assert sorted(got[fid]) == expected[fid], fid
+
+
+def test_cached_bounds(spark):
+    games = spark.createDataFrame(
+        [("a", "2023-01-05"), ("a", "2023-03-09"), ("b", "2022-12-31")],
+        "fide_id string, date string",
+    ).select("fide_id", F.to_date("date").alias("date"))
+    got = {r["fide_id"]: (str(r["db_min"]), str(r["db_max"]))
+           for r in cached_bounds(games).collect()}
+    assert got == {"a": ("2023-01-05", "2023-03-09"), "b": ("2022-12-31", "2022-12-31")}
+
+
+def test_force_recrawl_readmits(spark):
+    frontier = spark.createDataFrame(
+        [("u1", 11, "fetched", 0), ("u2", 22, "fetched", 0), ("u3", 33, "pending", 0)],
+        "url string, url_hash long, status string, recrawl_age int",
+    )
+    cf = CuckooFilter(1 << 8)
+    for h in (11, 22, 33):
+        cf.insert(h)
+    urls = frontier.filter(F.col("url") == "u2").select("url", "url_hash")
+    updated, cf = force_recrawl(frontier, urls, cf)
+    rows = {r["url"]: r for r in updated.collect()}
+    assert rows["u2"]["status"] == "pending" and rows["u2"]["recrawl_age"] == 1
+    assert rows["u1"]["status"] == "fetched"
+    assert not cf.contains(22) and cf.contains(11) and cf.contains(33)
