@@ -140,3 +140,23 @@ class SnapshotTable:
             json.dump(manifest, f, indent=1)
         os.rename(tmp, os.path.join(sdir, "manifest.json"))
         return snap
+
+
+def upsert(
+    table: SnapshotTable,
+    spark: SparkSession,
+    updates: DataFrame,
+    key: str,
+    **commit_kwargs,
+) -> int:
+    """MERGE-style upsert (SURVEY A9: the reference's check-then-insert
+    profile write, old_scripts/fide-player-stats-en-US.py:211-231): keep
+    existing rows whose key is not updated, add all update rows, commit
+    as a new overwrite snapshot.  On real Iceberg this is MERGE INTO;
+    the versioned-parquet backend realizes the same semantics as
+    anti-join + union."""
+    if table.latest() is None:
+        return table.commit(updates, **commit_kwargs)
+    current = table.read(spark)
+    keep = current.join(updates.select(key), key, "left_anti")
+    return table.commit(keep.unionByName(updates), **commit_kwargs)
