@@ -69,6 +69,9 @@ def bench_queries() -> dict[str, float]:
     from fide_crawler_spark.queries import QUERIES
 
     spark = get_spark("bench_queries", cores=CPUS)
+    # warm the session (JVM JIT, python workers, file index) so the
+    # first query's timing measures the query, not cluster startup
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
     out: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.time()

@@ -61,7 +61,7 @@ def parse_stage(fetched: DataFrame) -> DataFrame:
     return fetched.mapInPandas(run, schema=SPANS_SCHEMA)
 
 
-FUSED_META_COLS = ["url_hash", "fide_id", "period", "seed_pos", "rank"]
+FUSED_META_COLS = ["url_hash", "fide_id", "period", "seed_pos", "retry_count", "rank"]
 
 
 def fetch_parse_stage(
@@ -102,6 +102,22 @@ def fetch_parse_stage(
                 if mode == "synthetic":
                     pages = [render_page(u, weight) for u in part["url"]]
                     page_status = ["fetched"] * len(pages)
+                elif mode == "flaky":
+                    # deterministic failure injection for the retry-path
+                    # tests: every crc%3==0 URL fails on its first
+                    # attempt and succeeds once retry_count > 0
+                    # (reference analog: @retry(delay=10),
+                    # old_scripts/fide-games-scraper-public.py:48)
+                    import zlib
+
+                    pages, page_status = [], []
+                    for u, rc in zip(part["url"], part["retry_count"]):
+                        if zlib.crc32(u.encode()) % 3 == 0 and int(rc) == 0:
+                            pages.append("")
+                            page_status.append("failed")
+                        else:
+                            pages.append(render_page(u, weight))
+                            page_status.append("fetched")
                 else:
                     fetched = _http_fetch_batch(part["url"])
                     pages, page_status = fetched["page"], list(fetched["status"])

@@ -152,3 +152,26 @@ def test_span_explode_reassemble_roundtrip(spark, job):
     orig = {r["doc_id"]: r["spans"] for r in docs.collect()}
     rt = {r["doc_id"]: r["spans"] for r in back.collect()}
     assert orig == rt
+
+
+def test_flaky_fetch_retries_until_complete(spark, frontier_rows, oracle, tmp_path):
+    """Failed fetches stay pending with retry_count+1 and are re-dequeued
+    (reference analog: infinite @retry,
+    old_scripts/fide-games-scraper-public.py:48).  The final span corpus
+    must still equal the oracle's — failures only defer, never drop."""
+    import zlib
+
+    wd = str(tmp_path / "flaky")
+    j = CrawlJob(spark, wd, budget_per_host=BUDGET, n_salts=2, fetch_mode="flaky")
+    j.init(spark.createDataFrame(frontier_rows))
+    stats = j.run()
+    assert any(s.get("failed", 0) > 0 for s in stats), "no failures injected?"
+    assert stats[-1]["pending"] == 0
+    # every URL fetched exactly once, spans identical to the oracle
+    assert spark_spans(j) == oracle.spans
+    # retried URLs carry retry_count == 1 in the frontier
+    fr = {r["url"]: r for r in j.frontier_tbl.read(spark).collect()}
+    for url in oracle.url_seen:
+        expected_rc = 1 if zlib.crc32(url.encode()) % 3 == 0 else 0
+        assert fr[url]["retry_count"] == expected_rc, url
+        assert fr[url]["status"] == "fetched"
