@@ -33,6 +33,7 @@ from fide_crawler_spark.operators.frontier import priority_order
 from fide_crawler_spark.operators.parse import fetch_parse_stage
 from fide_crawler_spark.operators.rank import dequeue_rank
 from fide_crawler_spark.operators.urlseen import (
+    CuckooFilter,
     PartitionedBloom,
     build_bloom,
     filter_unseen,
@@ -40,6 +41,7 @@ from fide_crawler_spark.operators.urlseen import (
 from fide_crawler_spark.sources.snapshot import SnapshotTable
 
 BLOOM_STATE = "urlseen-bloom.bin"
+CUCKOO_STATE = "urlseen-cuckoo.bin"
 
 
 class CrawlJob:
@@ -62,6 +64,7 @@ class CrawlJob:
         page_weight: int = 1,
         bloom_bits_per_part: int = 1 << 20,
         bloom_parts: int = 8,
+        enable_cuckoo: bool = False,
     ):
         self.spark = spark
         self.workdir = workdir
@@ -71,6 +74,7 @@ class CrawlJob:
         self.page_weight = page_weight
         self.bloom_parts = bloom_parts
         self.bloom_bits = bloom_bits_per_part
+        self.enable_cuckoo = enable_cuckoo
         self.frontier_tbl = SnapshotTable(os.path.join(workdir, "frontier"))
         self.docs_tbl = SnapshotTable(os.path.join(workdir, "documents"))
 
@@ -82,11 +86,14 @@ class CrawlJob:
         if "url_hash" not in frontier.columns:
             frontier = frontier.withColumn("url_hash", F.xxhash64("url"))
         bloom = PartitionedBloom(self.bloom_parts, self.bloom_bits)
+        state = {BLOOM_STATE: bloom.to_bytes()}
+        if self.enable_cuckoo:
+            state[CUCKOO_STATE] = CuckooFilter().to_bytes()
         n = frontier.count()
         self.frontier_tbl.commit(
             frontier,
             metrics={"epoch": -1, "pending": n, "total": n},
-            state={BLOOM_STATE: bloom.to_bytes()},
+            state=state,
         )
 
     def epoch(self) -> int:
@@ -214,6 +221,20 @@ class CrawlJob:
         )
         bloom.merge(epoch_bloom)
 
+        state = {BLOOM_STATE: bloom.to_bytes()}
+        if self.enable_cuckoo:
+            # deletable URL-seen variant: maintained alongside the Bloom
+            # so force_recrawl can remove fingerprints (Bloom cannot).
+            # Driver-side insert of this epoch's hashes (bounded by the
+            # politeness budget); the scale path shards per
+            # url_hash % n_parts exactly like PartitionedBloom.
+            ck = CuckooFilter.from_bytes(self.frontier_tbl.state(CUCKOO_STATE))
+            for row in fetched_keys.select(
+                F.xxhash64("url").alias("h")
+            ).collect():
+                ck.insert(int(row["h"]))
+            state[CUCKOO_STATE] = ck.to_bytes()
+
         # pending after this epoch = previous pending − fetched (failed
         # rows stay pending); derived from metrics to save a recompute
         n_pending = self.pending_count() - n_fetched
@@ -227,7 +248,7 @@ class CrawlJob:
                 "pending": n_pending,
                 "total": int(m.get("total", -1)),
             },
-            state={BLOOM_STATE: bloom.to_bytes()},
+            state=state,
             lineage=lineage,
         )
         batch.unpersist()
@@ -273,3 +294,31 @@ class CrawlJob:
             .orderBy("epoch", "crawl_rank")
             .collect()
         ]
+
+    # -- forced recrawl (requires enable_cuckoo) ---------------------------
+    def force_recrawl(self, urls: DataFrame) -> int:
+        """Re-admit specific URLs (north star: cuckoo-filter variant for
+        deletions): delete their fingerprints from the deletable
+        URL-seen filter, reset their frontier rows to pending with a
+        recrawl_age priority boost, and commit a metadata+data snapshot.
+        The Bloom filter is left as-is — it may report the URL as
+        maybe-seen, but the exact anti-join backstop checks against
+        frontier status, which this resets, so re-admission is correct
+        (Bloom false-positives only cost the backstop join)."""
+        assert self.enable_cuckoo, "force_recrawl requires enable_cuckoo=True"
+        from fide_crawler_spark.operators.recrawl import force_recrawl as _fr
+
+        frontier = self.frontier_tbl.read(self.spark)
+        ck = CuckooFilter.from_bytes(self.frontier_tbl.state(CUCKOO_STATE))
+        updated, ck = _fr(frontier, urls, ck)
+        m = self.frontier_tbl.manifest()["metrics"]
+        n_forced = urls.select("url").distinct().count()
+        return self.frontier_tbl.commit(
+            updated,
+            metrics={**m, "pending": int(m["pending"]) + n_forced,
+                     "forced": n_forced},
+            state={
+                BLOOM_STATE: self.frontier_tbl.state(BLOOM_STATE),
+                CUCKOO_STATE: ck.to_bytes(),
+            },
+        )

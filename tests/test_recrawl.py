@@ -99,3 +99,33 @@ def test_force_recrawl_readmits(spark):
     assert rows["u2"]["status"] == "pending" and rows["u2"]["recrawl_age"] == 1
     assert rows["u1"]["status"] == "fetched"
     assert not cf.contains(22) and cf.contains(11) and cf.contains(33)
+
+
+def test_scheduler_force_recrawl_end_to_end(spark, tmp_path):
+    """Full loop: crawl all, force-recrawl a subset via the cuckoo
+    variant, re-run → re-fetched docs land in a later epoch with
+    identical spans (deterministic fetcher)."""
+    from fide_crawler_spark.fixtures import seed_frontier_rows
+    from fide_crawler_spark.operators.scheduler import CrawlJob
+
+    rows = seed_frontier_rows(["7700077"], "2023-01-01", 4)
+    wd = str(tmp_path / "forced")
+    j = CrawlJob(spark, wd, budget_per_host=8, n_salts=2, enable_cuckoo=True)
+    j.init(spark.createDataFrame(rows))
+    j.run()
+    docs_before = {r["doc_id"]: r["epoch"] for r in
+                   j.read_documents().select("doc_id", "epoch").collect()}
+
+    target = spark.createDataFrame(
+        [(rows[0]["url"],)], "url string"
+    ).select("url", F.xxhash64("url").alias("url_hash"))
+    j.force_recrawl(target)
+    assert j.pending_count() == 1
+    j.run()
+
+    docs = j.docs_tbl.read(spark).filter(F.col("doc_id") == rows[0]["url"])
+    epochs = sorted(r["epoch"] for r in docs.select("epoch").collect())
+    assert len(epochs) == 2 and epochs[1] > docs_before[rows[0]["url"]]
+    # read_documents dedups to one row per doc; spans unchanged
+    final = j.read_documents().filter(F.col("doc_id") == rows[0]["url"]).count()
+    assert final == 1
