@@ -70,7 +70,12 @@ def main() -> None:
             "fetched": sum(s.get("fetched", 0) for s in epoch_stats),
             "epochs": len(epoch_stats),
         }
-        n_spans = sum(x["spans"] for x in job.docs_tbl.manifest()["lineage"])
+        # lineage is per-commit — sum across every snapshot's manifest
+        n_spans = sum(
+            x["spans"]
+            for s in job.docs_tbl.snapshots()
+            for x in job.docs_tbl.manifest(s)["lineage"]
+        )
         checksum = job.docs_tbl.read(spark).selectExpr(
             "sum(crc32(concat_ws('|', doc_id, cast(n_spans as string)))) AS c"
         ).first()["c"]
