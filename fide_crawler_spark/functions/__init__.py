@@ -9,15 +9,52 @@ from pyspark.sql import functions as F
 
 
 def lev_ratio(a: Column | str, b: Column | str) -> Column:
-    """Levenshtein *ratio* exactly as python-Levenshtein's ``lev.ratio``
-    (the reference's best-match scorer,
+    """JVM approximation of python-Levenshtein's ``lev.ratio`` (the
+    reference's best-match scorer,
     old_scripts/fide-games-scraper-public.py:144):
-    (la + lb - 2*dist') / (la + lb) where dist' weights substitutions 2
-    — equal to 1 - dist/max(la,lb) only approximately, so we expose the
-    simple normalized similarity and the exact ratio separately."""
+    (la + lb - 2*lev) / (la + lb).  EXACT only when the optimal
+    alignment is substitution-only — lev.ratio weights substitutions 2
+    but indels 1 (ratio = 2*LCS/(la+lb)), so for unequal-length pairs
+    this under-scores; use ``lev_ratio_exact`` when bit-parity with the
+    reference's ranking matters."""
     a, b = F.col(a) if isinstance(a, str) else a, F.col(b) if isinstance(b, str) else b
     la, lb = F.length(a), F.length(b)
     return (la + lb - 2 * F.levenshtein(a, b)) / (la + lb)
+
+
+def lev_ratio_exact(a: Column | str, b: Column | str) -> Column:
+    """Exact python-Levenshtein ``lev.ratio``: weighted edit distance
+    with substitution cost 2 reduces to 2*LCS/(la+lb).  Arrow-batched
+    pandas UDF (the C5 enrichment join it serves scores small candidate
+    sets, so the Python DP is off the hot path)."""
+    import pandas as pd
+
+    # no type hints: `pd` is function-local, so postponed annotations
+    # can't be resolved by the pandas_udf inspector
+    @F.pandas_udf("double")
+    def ratio(sa, sb):
+        def lcs(x: str, y: str) -> int:
+            if not x or not y:
+                return 0
+            prev = [0] * (len(y) + 1)
+            for cx in x:
+                cur = [0]
+                for j, cy in enumerate(y, 1):
+                    cur.append(
+                        prev[j - 1] + 1 if cx == cy else max(prev[j], cur[j - 1])
+                    )
+                prev = cur
+            return prev[-1]
+
+        out = []
+        for x, y in zip(sa, sb):
+            tot = len(x) + len(y)
+            out.append(2.0 * lcs(x, y) / tot if tot else 1.0)
+        return pd.Series(out)
+
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return ratio(a, b)
 
 
 def lev_similarity(a: Column | str, b: Column | str) -> Column:

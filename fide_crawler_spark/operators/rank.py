@@ -39,9 +39,14 @@ def grouped_rank(
     order_cols: list[Column],
     rank_col: str = "rank",
     num_partitions: int | None = None,
+    caches: list | None = None,
 ) -> DataFrame:
     """1-based rank within each group (global rank if group_cols=[]),
     ordered by ``order_cols`` — which must include a unique tie-break.
+
+    The operator persists its sorted layout; pass ``caches`` to receive
+    the cached DataFrame and ``unpersist()`` it once the returned plan
+    has been consumed — otherwise it lives until session end.
     """
     spark = df.sparkSession
     p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -109,9 +114,11 @@ def grouped_rank(
             out[rank_col] = ranks
             yield out
 
-    # The cache must outlive the caller's action on the returned plan —
-    # Spark evicts to disk under pressure, and the cached set is only
-    # the ranked batch (politeness-bounded), never the whole frontier.
+    # The cache must outlive the caller's action on the returned plan;
+    # it holds the FULL input (pre-cap) — callers release it via the
+    # ``caches`` registry or it leaks one input-sized cache per call.
+    if caches is not None:
+        caches.append(sorted_df)
     return sorted_df.mapInPandas(attach, schema=ddl)
 
 
@@ -138,6 +145,7 @@ def dequeue_rank(
     budget_per_host: int,
     rank_col: str = "rank",
     num_partitions: int | None = None,
+    caches: list | None = None,
 ) -> DataFrame:
     """Fused politeness cap + global crawl rank in ONE sorted pass.
 
@@ -225,4 +233,6 @@ def dequeue_rank(
             out[rank_col] = ranks
             yield out
 
+    if caches is not None:
+        caches.append(sorted_df)
     return sorted_df.mapInPandas(attach, schema=ddl)

@@ -75,9 +75,11 @@ def force_recrawl(
     The cuckoo maintenance is driver-side here (the re-admission set is
     operator-chosen and small); at full scale it shards per
     ``url_hash % n_parts`` exactly like PartitionedBloom."""
-    for row in urls.select("url_hash").collect():
+    for row in urls.select("url_hash").distinct().collect():
         cuckoo.delete(int(row["url_hash"]))
-    keys = urls.select("url").withColumn("_force", F.lit(True))
+    # distinct: a duplicated key would fan the join out and DUPLICATE
+    # frontier rows (each copy then gets dequeued and fetched)
+    keys = urls.select("url").distinct().withColumn("_force", F.lit(True))
     updated = (
         frontier.join(keys, "url", "left")
         .withColumn(

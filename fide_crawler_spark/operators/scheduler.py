@@ -122,13 +122,20 @@ class CrawlJob:
 
         # fused dequeue: politeness budget per host + global crawl rank
         # in one sorted pass (operators/rank.py dequeue_rank — a
-        # windowed rank would serialize the batch into one task)
+        # windowed rank would serialize the batch into one task).
+        # _caches registers the operator's persisted sort layout so it
+        # is released at epoch end (it would leak one candidate-set-
+        # sized cache per epoch otherwise).
+        _caches: list = []
         batch = dequeue_rank(
-            candidates, "host", priority_order(), self.budget, "rank"
+            candidates, "host", priority_order(), self.budget, "rank",
+            caches=_caches,
         ).persist()
         n_batch = batch.count()
         if n_batch == 0:
             batch.unpersist()
+            for c in _caches:
+                c.unpersist()
             return {"epoch": e, "dequeued": 0, "done": True}
 
         # fused fetch+parse (one Arrow round-trip, meta passthrough, no
@@ -229,10 +236,26 @@ class CrawlJob:
             # politeness budget); the scale path shards per
             # url_hash % n_parts exactly like PartitionedBloom.
             ck = CuckooFilter.from_bytes(self.frontier_tbl.state(CUCKOO_STATE))
-            for row in fetched_keys.select(
-                F.xxhash64("url").alias("h")
-            ).collect():
-                ck.insert(int(row["h"]))
+            epoch_hashes = [
+                int(r["h"])
+                for r in fetched_keys.select(F.xxhash64("url").alias("h")).collect()
+            ]
+            if not all(ck.insert(h) for h in epoch_hashes):
+                # filter full — a failed insert also evicts a victim
+                # fingerprint mid-kick, so the state is no longer
+                # trustworthy: rebuild larger from the source of truth
+                # (every fetched URL in the updated frontier)
+                all_hashes = [
+                    int(r["url_hash"])
+                    for r in new_frontier.filter(F.col("status") == "fetched")
+                    .select("url_hash").collect()
+                ]
+                n_buckets = ck.n_buckets
+                while True:
+                    n_buckets *= 2
+                    ck = CuckooFilter(n_buckets)
+                    if all(ck.insert(h) for h in all_hashes):
+                        break
             state[CUCKOO_STATE] = ck.to_bytes()
 
         # pending after this epoch = previous pending − fetched (failed
@@ -252,6 +275,8 @@ class CrawlJob:
             lineage=lineage,
         )
         batch.unpersist()
+        for c in _caches:
+            c.unpersist()
         return {
             "epoch": e,
             "dequeued": n_batch,
@@ -272,13 +297,18 @@ class CrawlJob:
 
     # -- reads ----------------------------------------------------------------
     def read_documents(self, snap: int | None = None) -> DataFrame:
-        """Docs as of a snapshot, idempotent under epoch replay: if a
-        crash re-appended a doc, keep the earliest (epoch, crawl_rank).
+        """Docs as of a snapshot, one row per doc_id keeping the LATEST
+        (epoch, crawl_rank) copy: idempotent under crash-replay
+        re-appends (identical content either way) AND correct under
+        forced recrawl, where the later epoch carries the refreshed
+        fetch — keeping the earliest would pin stale content forever.
         """
         docs = self.docs_tbl.read(self.spark, snap)
         from pyspark.sql import Window
 
-        w = Window.partitionBy("doc_id").orderBy("epoch", "crawl_rank")
+        w = Window.partitionBy("doc_id").orderBy(
+            F.desc("epoch"), F.desc("crawl_rank")
+        )
         return (
             docs.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
@@ -312,7 +342,13 @@ class CrawlJob:
         ck = CuckooFilter.from_bytes(self.frontier_tbl.state(CUCKOO_STATE))
         updated, ck = _fr(frontier, urls, ck)
         m = self.frontier_tbl.manifest()["metrics"]
-        n_forced = urls.select("url").distinct().count()
+        # only rows that actually flip fetched→pending change the count
+        # (forcing an already-pending or unknown URL is a no-op)
+        n_forced = (
+            frontier.filter(F.col("status") == "fetched")
+            .join(urls.select("url").distinct(), "url", "left_semi")
+            .count()
+        )
         return self.frontier_tbl.commit(
             updated,
             metrics={**m, "pending": int(m["pending"]) + n_forced,

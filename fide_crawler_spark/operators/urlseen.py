@@ -155,10 +155,14 @@ def bloom_probe_col(spark, bloom: PartitionedBloom, hash_col: str = "url_hash"):
     probed inside an Arrow-vectorized pandas UDF.
     """
     blob_bc = spark.sparkContext.broadcast(bloom.to_bytes())
+    holder: dict = {}  # task-local memo: from_bytes copies MBs of bit
+    # arrays, so reconstruct once per task instead of once per Arrow batch
 
     @F.pandas_udf("boolean")
     def probe(h: pd.Series) -> pd.Series:
-        bf = PartitionedBloom.from_bytes(blob_bc.value)
+        bf = holder.get("bf")
+        if bf is None:
+            bf = holder["bf"] = PartitionedBloom.from_bytes(blob_bc.value)
         return pd.Series(bf.might_contain(h.to_numpy().astype(np.uint64)))
 
     return probe(F.col(hash_col))

@@ -175,3 +175,30 @@ def test_flaky_fetch_retries_until_complete(spark, frontier_rows, oracle, tmp_pa
         expected_rc = 1 if zlib.crc32(url.encode()) % 3 == 0 else 0
         assert fr[url]["retry_count"] == expected_rc, url
         assert fr[url]["status"] == "fetched"
+
+
+def test_duplicate_admission_not_refetched(spark, frontier_rows, tmp_path):
+    """The URL-seen path must actually filter: after fetching everything,
+    append NEW pending rows for already-fetched URLs (the
+    discovered-link / re-seed case) — they must be rejected by the Bloom
+    pre-pass + anti-join, not fetched twice."""
+    wd = str(tmp_path / "dupadmit")
+    j = CrawlJob(spark, wd, budget_per_host=BUDGET, n_salts=2)
+    j.init(spark.createDataFrame(frontier_rows))
+    j.run()
+    n_docs_before = j.docs_tbl.read(spark).count()
+
+    # re-admit 5 already-fetched URLs as fresh pending rows
+    dup_rows = [dict(r, status="pending", epoch=-1) for r in frontier_rows[:5]]
+    frontier = j.frontier_tbl.read(spark)
+    dups = spark.createDataFrame(dup_rows).withColumn(
+        "url_hash", F.xxhash64("url")
+    ).select(*frontier.columns)
+    j.frontier_tbl.commit(
+        frontier.unionByName(dups),
+        metrics={**j.frontier_tbl.manifest()["metrics"], "pending": 5},
+        state={"urlseen-bloom.bin": j.frontier_tbl.state("urlseen-bloom.bin")},
+    )
+    stats = j.run_epoch()
+    assert stats["dequeued"] == 0, "seen URLs must not be re-dequeued"
+    assert j.docs_tbl.read(spark).count() == n_docs_before

@@ -129,3 +129,57 @@ def test_scheduler_force_recrawl_end_to_end(spark, tmp_path):
     # read_documents dedups to one row per doc; spans unchanged
     final = j.read_documents().filter(F.col("doc_id") == rows[0]["url"]).count()
     assert final == 1
+
+
+def test_force_recrawl_noop_urls_dont_corrupt_pending(spark, tmp_path):
+    """Forcing an already-pending or unknown URL must not inflate the
+    derived pending metric."""
+    from fide_crawler_spark.fixtures import seed_frontier_rows
+    from fide_crawler_spark.operators.scheduler import CrawlJob
+
+    rows = seed_frontier_rows(["9900099"], "2023-01-01", 3)
+    wd = str(tmp_path / "noopforce")
+    j = CrawlJob(spark, wd, budget_per_host=8, n_salts=2, enable_cuckoo=True)
+    j.init(spark.createDataFrame(rows))
+    j.run()
+    assert j.pending_count() == 0
+    # unknown URL + double-force of the same fetched URL
+    targets = spark.createDataFrame(
+        [("https://nowhere/x",), (rows[0]["url"],), (rows[0]["url"],)],
+        "url string",
+    ).select("url", F.xxhash64("url").alias("url_hash"))
+    j.force_recrawl(targets)
+    assert j.pending_count() == 1  # only the genuine flip counts
+    j.force_recrawl(targets)       # second force: row already pending
+    assert j.pending_count() == 1
+    j.run()
+    assert j.pending_count() == 0
+
+
+def test_cuckoo_overflow_rebuilds(spark, tmp_path):
+    """Filling the cuckoo filter mid-crawl triggers a rebuild from the
+    frontier's fetched set instead of silently dropping fingerprints."""
+    from fide_crawler_spark.fixtures import seed_frontier_rows
+    from fide_crawler_spark.operators import scheduler as S
+    from fide_crawler_spark.operators.scheduler import CrawlJob
+    from fide_crawler_spark.operators.urlseen import CuckooFilter
+
+    rows = seed_frontier_rows([str(8800000 + i) for i in range(20)], "2023-01-01", 4)
+    wd = str(tmp_path / "tinycuckoo")
+    j = CrawlJob(spark, wd, budget_per_host=1000, n_salts=2, enable_cuckoo=True)
+    j.init(spark.createDataFrame(rows))
+    # shrink the persisted filter to 2 buckets × 4 slots (capacity 8 < 80)
+    tiny = CuckooFilter(2)
+    snap = j.frontier_tbl.latest()
+    import os
+    with open(os.path.join(j.frontier_tbl._dir(snap), "state", S.CUCKOO_STATE), "wb") as f:
+        f.write(tiny.to_bytes())
+    j.run()
+    ck = CuckooFilter.from_bytes(j.frontier_tbl.state(S.CUCKOO_STATE))
+    assert ck.n_buckets > 2, "filter did not grow"
+    fetched = j.frontier_tbl.read(spark).filter(F.col("status") == "fetched")
+    missing = [
+        r["url_hash"] for r in fetched.select("url_hash").collect()
+        if not ck.contains(int(r["url_hash"]))
+    ]
+    assert not missing, f"{len(missing)} fetched URLs missing from rebuilt filter"

@@ -74,3 +74,22 @@ def test_month_start_and_points_str(one):
     ).first()
     assert str(r["m"]) == "2023-05-01"
     assert r["a"] == "6/7" and r["b"] == "5.5/9"
+
+
+def test_lev_ratio_exact_matches_definition(spark):
+    """lev.ratio (sub cost 2) == 2*LCS/(la+lb): indel case where the JVM
+    approximation under-scores."""
+    from fide_crawler_spark.functions import lev_ratio_exact
+
+    df = spark.createDataFrame(
+        [("abc", "ab"), ("menorca open", "menorca opens"), ("abcd", "abxd"),
+         ("", ""), ("a", "b")],
+        "a string, b string",
+    )
+    got = {(r["a"], r["b"]): r["r"] for r in
+           df.select("a", "b", lev_ratio_exact("a", "b").alias("r")).collect()}
+    assert abs(got[("abc", "ab")] - 4 / 5) < 1e-9          # lev.ratio = 0.8
+    assert abs(got[("menorca open", "menorca opens")] - 24 / 25) < 1e-9
+    assert abs(got[("abcd", "abxd")] - 6 / 8) < 1e-9        # sub-only case
+    assert got[("", "")] == 1.0
+    assert got[("a", "b")] == 0.0
