@@ -65,6 +65,7 @@ class CrawlJob:
         bloom_bits_per_part: int = 1 << 20,
         bloom_parts: int = 8,
         enable_cuckoo: bool = False,
+        respect_robots: bool = False,
     ):
         self.spark = spark
         self.workdir = workdir
@@ -75,8 +76,10 @@ class CrawlJob:
         self.bloom_parts = bloom_parts
         self.bloom_bits = bloom_bits_per_part
         self.enable_cuckoo = enable_cuckoo
+        self.respect_robots = respect_robots
         self.frontier_tbl = SnapshotTable(os.path.join(workdir, "frontier"))
         self.docs_tbl = SnapshotTable(os.path.join(workdir, "documents"))
+        self.robots_tbl = SnapshotTable(os.path.join(workdir, "robots"))
 
     # -- lifecycle ---------------------------------------------------------
     def init(self, frontier: DataFrame) -> None:
@@ -85,14 +88,32 @@ class CrawlJob:
             return  # already initialized — resume instead
         if "url_hash" not in frontier.columns:
             frontier = frontier.withColumn("url_hash", F.xxhash64("url"))
+        n_blocked = 0
+        if self.respect_robots:
+            # robots.txt cache (north rule): one fetch per distinct
+            # host, rules snapshot-persisted, admission enforced by
+            # marking disallowed rows blocked (audit trail; they never
+            # reach the dequeue, which selects status='pending')
+            from fide_crawler_spark.operators.robots import (
+                fetch_robots,
+                robots_filter,
+            )
+
+            robots = fetch_robots(frontier, mode=self.fetch_mode if
+                                  self.fetch_mode == "http" else "synthetic")
+            self.robots_tbl.commit(robots, metrics={"epoch": -1})
+            robots = self.robots_tbl.read(frontier.sparkSession)
+            frontier = robots_filter(frontier, robots, mark=True)
+            n_blocked = frontier.filter(F.col("status") == "blocked").count()
         bloom = PartitionedBloom(self.bloom_parts, self.bloom_bits)
         state = {BLOOM_STATE: bloom.to_bytes()}
         if self.enable_cuckoo:
             state[CUCKOO_STATE] = CuckooFilter().to_bytes()
-        n = frontier.count()
+        n = frontier.filter(F.col("status") == "pending").count()
         self.frontier_tbl.commit(
             frontier,
-            metrics={"epoch": -1, "pending": n, "total": n},
+            metrics={"epoch": -1, "pending": n, "total": n,
+                     "blocked": n_blocked},
             state=state,
         )
 
