@@ -62,17 +62,37 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.0,
     id_col: str = "doc_id",
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard over word-n-gram shingle sets, restricted to pairs
     sharing ≥1 shingle (inverted-index self-join — the candidate set an
     all-pairs cross join would waste 99%+ of its work rediscovering).
 
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
-    """
+
+    ``max_doc_freq`` is the skew valve for web-scale corpora: a shingle
+    appearing in f docs contributes O(f²) candidate pairs, so a handful
+    of boilerplate shingles (headers, license blurbs) can dominate the
+    join.  Dropping shingles with doc-frequency > max_doc_freq bounds
+    per-key fan-out; the resulting Jaccard is then computed over the
+    pruned shingle space (an approximation — standard prefix-filtering
+    practice — so it is opt-in and the default stays exact)."""
     sh = docs.select(
         F.col(id_col).alias("doc"), shingles_col(n=n).alias("sh")
     ).withColumn("n_sh", F.size("sh"))
     flat = sh.select("doc", "n_sh", F.explode("sh").alias("shingle"))
+    if max_doc_freq is not None:
+        keep = (
+            flat.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_doc_freq)
+            .select("shingle")
+        )
+        pruned = flat.drop("n_sh").join(keep, "shingle", "left_semi")
+        # set sizes recomputed over the pruned space so the Jaccard
+        # denominator stays consistent with the intersections
+        sizes = pruned.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+        flat = pruned.join(sizes, "doc")
     a = flat.select(
         F.col("doc").alias("doc_a"), F.col("n_sh").alias("na"), "shingle"
     )

@@ -1197,3 +1197,30 @@ def q42_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q43_json_props",
+    """
+    SELECT event_type,
+           ROUND(AVG(CAST(json_extract(props, '$.k') AS INT)), 4) AS avg_k,
+           MAX(CAST(json_extract(props, '$.k') AS INT)) AS max_k,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q43_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column access: JSON props parsed with
+    get_json_object (typed via from_json at scale — schema'd parse once,
+    not per-access)."""
+    e = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.round(F.avg(k), 4).alias("avg_k"),
+            F.max(k).alias("max_k"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )

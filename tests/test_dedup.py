@@ -164,3 +164,22 @@ def test_minhash_candidates_are_superset_of_high_jaccard(spark, threshold):
     }
     missed = high - cands
     assert len(missed) <= max(1, len(high) // 5), f"missed {missed}"
+
+
+def test_ngram_jaccard_stop_shingle_pruning(spark):
+    """max_doc_freq drops boilerplate shingles: planted dups (unique
+    shingles) survive, while a shingle shared by every doc no longer
+    generates O(n²) candidate pairs."""
+    boiler = "common header boiler plate line"
+    rows = [(i, boiler + f" unique{i} token{i} extra{i} word{i}") for i in range(20)]
+    rows += [(100, "alpha beta gamma delta epsilon zeta"),
+             (101, "alpha beta gamma delta epsilon zeta")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # unpruned: every boilerplate pair is a candidate (20*19/2 + 1)
+    full = D.ngram_jaccard_pairs(df, n=3).count()
+    assert full >= 190
+    pruned = D.ngram_jaccard_pairs(df, n=3, max_doc_freq=5)
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in pruned.collect()}
+    assert (100, 101) in got and got[(100, 101)] == 1.0
+    # boilerplate-only pairs gone
+    assert all(a == 100 for (a, b) in got), got
