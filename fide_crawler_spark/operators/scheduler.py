@@ -152,11 +152,16 @@ class CrawlJob:
             candidates, "host", priority_order(), self.budget, "rank",
             caches=_caches,
         ).persist()
-        n_batch = batch.count()
-        if n_batch == 0:
-            batch.unpersist()
+        _caches.append(batch)
+        try:
+            return self._run_epoch_body(spark, e, m, frontier, bloom, batch)
+        finally:
             for c in _caches:
                 c.unpersist()
+
+    def _run_epoch_body(self, spark, e, m, frontier, bloom, batch) -> dict:
+        n_batch = batch.count()
+        if n_batch == 0:
             return {"epoch": e, "dequeued": 0, "done": True}
 
         # fused fetch+parse (one Arrow round-trip, meta passthrough, no
@@ -295,9 +300,6 @@ class CrawlJob:
             state=state,
             lineage=lineage,
         )
-        batch.unpersist()
-        for c in _caches:
-            c.unpersist()
         return {
             "epoch": e,
             "dequeued": n_batch,
