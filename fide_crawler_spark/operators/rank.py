@@ -146,8 +146,13 @@ def dequeue_rank(
     rank_col: str = "rank",
     num_partitions: int | None = None,
     caches: list | None = None,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """Fused politeness cap + global crawl rank in ONE sorted pass.
+
+    ``stats_out`` (if given) receives ``n_survivors`` — the exact output
+    row count, already known from the pass-1 statistics — so callers
+    don't need a separate count() job over the result.
 
     The epoch dequeue needs two ranks over the same priority order:
     row_number per host (to enforce the politeness budget) and
@@ -208,6 +213,8 @@ def dequeue_rank(
     for pid in sorted(survivors_per_pid):
         global_off[pid] = acc
         acc += survivors_per_pid[pid]
+    if stats_out is not None:
+        stats_out["n_survivors"] = acc
     bc = spark.sparkContext.broadcast((host_off, global_off, budget_per_host))
 
     out_schema = sorted_df.drop(_PID, _GKEY).schema.add(rank_col, "long")

@@ -148,19 +148,24 @@ class CrawlJob:
         # is released at epoch end (it would leak one candidate-set-
         # sized cache per epoch otherwise).
         _caches: list = []
+        _stats: dict = {}
         batch = dequeue_rank(
             candidates, "host", priority_order(), self.budget, "rank",
-            caches=_caches,
+            caches=_caches, stats_out=_stats,
         ).persist()
         _caches.append(batch)
         try:
-            return self._run_epoch_body(spark, e, m, frontier, bloom, batch)
+            return self._run_epoch_body(
+                spark, e, m, frontier, bloom, batch, _stats["n_survivors"]
+            )
         finally:
             for c in _caches:
                 c.unpersist()
 
-    def _run_epoch_body(self, spark, e, m, frontier, bloom, batch) -> dict:
-        n_batch = batch.count()
+    def _run_epoch_body(self, spark, e, m, frontier, bloom, batch, n_batch) -> dict:
+        # n_batch comes from the dequeue's own pass-1 statistics — no
+        # extra count() job; the batch cache materializes lazily inside
+        # the fetch stage's first action.
         if n_batch == 0:
             return {"epoch": e, "dequeued": 0, "done": True}
 

@@ -1224,3 +1224,27 @@ def q43_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q44_sql_api",
+    """
+    SELECT n_name,
+           COUNT(DISTINCT c_custkey) AS n_customers,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS total_spend
+    FROM nation
+    JOIN customer ON c_nationkey = n_nationkey
+    JOIN orders   ON o_custkey = c_custkey
+    WHERE o_orderstatus <> 'P'
+    GROUP BY n_name
+    HAVING COUNT(*) > 5
+    ORDER BY n_name
+    """,
+)
+def q44_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL surface: temp views + spark.sql running the SAME ANSI
+    text the DuckDB oracle runs (Catalyst plans SQL and DataFrame code
+    identically — this entry proves the engine exposes both APIs)."""
+    for t in ("nation", "customer", "orders"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(ORACLE["q44_sql_api"])
