@@ -37,8 +37,10 @@ def _synthetic_rules(host: str) -> list[str]:
     h = zlib.crc32(host.encode())
     rules = ["/private", f"/tmp{h % 10}"]
     if h % 4 == 0:
-        # blocks ids whose decimal form starts with this digit
-        rules.append(f"/a_indv_calculations.php?id_number={h % 4 + 1}")
+        # blocks ids whose decimal form starts with this digit (1..4,
+        # varying per host)
+        digit = (h // 4) % 4 + 1
+        rules.append(f"/a_indv_calculations.php?id_number={digit}")
     return rules
 
 
@@ -68,6 +70,7 @@ def fetch_robots(hosts: DataFrame, mode: str = "synthetic") -> DataFrame:
             if mode == "synthetic":
                 rules = [_synthetic_rules(h) for h in pdf["host"]]
             else:
+                import urllib.error
                 import urllib.request
 
                 rules = []
@@ -77,8 +80,12 @@ def fetch_robots(hosts: DataFrame, mode: str = "synthetic") -> DataFrame:
                             f"https://{h}/robots.txt", timeout=10
                         ) as resp:
                             rules.append(_parse_robots_txt(resp.read().decode()))
+                    except urllib.error.HTTPError as err:
+                        # RFC 9309 §2.3.1: 4xx "unavailable" → crawl
+                        # allowed; 5xx/other "unreachable" → full disallow
+                        rules.append([] if 400 <= err.code < 500 else ["/"])
                     except Exception:
-                        rules.append([])
+                        rules.append(["/"])  # unreachable → fail CLOSED
             yield pd.DataFrame({"host": pdf["host"], "rules": rules})
 
     return hosts.select("host").distinct().mapInPandas(run, schema=ROBOTS_SCHEMA)

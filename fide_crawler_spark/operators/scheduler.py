@@ -88,7 +88,6 @@ class CrawlJob:
             return  # already initialized — resume instead
         if "url_hash" not in frontier.columns:
             frontier = frontier.withColumn("url_hash", F.xxhash64("url"))
-        n_blocked = 0
         if self.respect_robots:
             # robots.txt cache (north rule): one fetch per distinct
             # host, rules snapshot-persisted, admission enforced by
@@ -99,23 +98,40 @@ class CrawlJob:
                 robots_filter,
             )
 
-            robots = fetch_robots(frontier, mode=self.fetch_mode if
-                                  self.fetch_mode == "http" else "synthetic")
+            robots = fetch_robots(frontier, mode=self._robots_mode())
             self.robots_tbl.commit(robots, metrics={"epoch": -1})
             robots = self.robots_tbl.read(frontier.sparkSession)
             frontier = robots_filter(frontier, robots, mark=True)
-            n_blocked = frontier.filter(F.col("status") == "blocked").count()
         bloom = PartitionedBloom(self.bloom_parts, self.bloom_bits)
         state = {BLOOM_STATE: bloom.to_bytes()}
         if self.enable_cuckoo:
             state[CUCKOO_STATE] = CuckooFilter().to_bytes()
-        n = frontier.filter(F.col("status") == "pending").count()
-        self.frontier_tbl.commit(
-            frontier,
-            metrics={"epoch": -1, "pending": n, "total": n,
-                     "blocked": n_blocked},
-            state=state,
-        )
+
+        # single materialization: status counts derived from the written
+        # files (finalize pattern), not from extra jobs over the input
+        # plan.  'total' counts every non-blocked row — fetched rows in
+        # an imported frontier must keep total > pending so run_epoch's
+        # URL-seen skip proof ("pending == total ⇒ nothing fetched yet")
+        # stays sound.
+        def finalize(data_path: str):
+            spark = frontier.sparkSession
+            counts = {
+                r["status"]: int(r["count"])
+                for r in spark.read.parquet(data_path).groupBy("status").count().collect()
+            }
+            n_blocked = counts.get("blocked", 0)
+            n_total = sum(counts.values()) - n_blocked
+            return {
+                "epoch": -1,
+                "pending": counts.get("pending", 0),
+                "total": n_total,
+                "blocked": n_blocked,
+            }, None
+
+        self.frontier_tbl.commit(frontier, state=state, finalize=finalize)
+
+    def _robots_mode(self) -> str:
+        return "http" if self.fetch_mode == "http" else "synthetic"
 
     def epoch(self) -> int:
         return int(self.frontier_tbl.manifest()["metrics"]["epoch"])
@@ -377,12 +393,11 @@ class CrawlJob:
             .join(urls.select("url").distinct(), "url", "left_semi")
             .count()
         )
+        state = self.frontier_tbl.carry_state()
+        state[CUCKOO_STATE] = ck.to_bytes()
         return self.frontier_tbl.commit(
             updated,
             metrics={**m, "pending": int(m["pending"]) + n_forced,
                      "forced": n_forced},
-            state={
-                BLOOM_STATE: self.frontier_tbl.state(BLOOM_STATE),
-                CUCKOO_STATE: ck.to_bytes(),
-            },
+            state=state,
         )

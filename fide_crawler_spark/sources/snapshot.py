@@ -74,6 +74,19 @@ class SnapshotTable:
         with open(os.path.join(self._dir(snap), "state", name), "rb") as f:
             return f.read()
 
+    def carry_state(self, snap: int | None = None) -> dict[str, bytes]:
+        """All state sidecars of a snapshot — pass to commit() so a
+        metadata/data update carries EVERY filter blob forward (a commit
+        writes only the blobs it is given; forgetting one silently drops
+        it from the new snapshot)."""
+        snap = self.latest() if snap is None else snap
+        if snap is None:
+            return {}
+        return {
+            name: self.state(name, snap)
+            for name in self.manifest(snap)["state_files"]
+        }
+
     # -- commit ----------------------------------------------------------------
     def commit(
         self,

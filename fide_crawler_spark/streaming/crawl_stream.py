@@ -23,8 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from fide_crawler_spark.operators.scheduler import BLOOM_STATE, CrawlJob
-from fide_crawler_spark.operators.urlseen import PartitionedBloom, filter_unseen
+from fide_crawler_spark.operators.scheduler import CrawlJob
 
 SEED_SCHEMA = (
     "url string, host string, fide_id string, period string, depth int, "
@@ -42,33 +41,58 @@ def read_seed_stream(spark: SparkSession, path: str, max_files: int = 1) -> Data
 
 
 def admit_seeds(job: CrawlJob, seeds: DataFrame) -> int:
-    """Admission for a micro-batch of discovered seeds: canonical hash,
-    URL-seen check (Bloom pre-pass + anti-join vs the whole frontier —
-    streamed seeds CAN duplicate both fetched and pending rows), then a
-    frontier append commit."""
+    """Admission for a micro-batch of discovered seeds.
+
+    Dedup is a single exact ``left_anti`` on ``url`` against the whole
+    frontier: the Bloom filter tracks FETCHED URLs only, so it cannot
+    pre-filter duplicates of still-*pending* rows — an anti-join against
+    all frontier keys is the correct (and sufficient) check here; at
+    10^10 scale the frontier side would be bucketed by url so this join
+    is co-located.  Robots admission applies to every micro-batch (new
+    hosts are fetched and appended to the robots cache), and all state
+    sidecars carry forward through the commit.
+    """
     spark = job.spark
     seeds = seeds.withColumn("url_hash", F.xxhash64("url")).dropDuplicates(["url"])
     if job.frontier_tbl.latest() is None:
         job.init(seeds)
         return job.pending_count()
+
     frontier = job.frontier_tbl.read(spark)
-    bloom = PartitionedBloom.from_bytes(job.frontier_tbl.state(BLOOM_STATE))
-    fresh = filter_unseen(spark, seeds, frontier, bloom).join(
-        frontier.select("url"), "url", "left_anti"
-    )
-    n_new = fresh.count()
-    if n_new == 0:
-        return 0
-    m = job.frontier_tbl.manifest()["metrics"]
-    job.frontier_tbl.commit(
-        frontier.unionByName(fresh.select(*frontier.columns)),
-        metrics={
-            **m,
-            "pending": int(m["pending"]) + n_new,
-            "total": int(m.get("total", 0)) + n_new,
-        },
-        state={BLOOM_STATE: job.frontier_tbl.state(BLOOM_STATE)},
-    )
+    fresh = seeds.join(frontier.select("url"), "url", "left_anti")
+
+    if job.respect_robots:
+        from fide_crawler_spark.operators.robots import fetch_robots, robots_filter
+
+        known = job.robots_tbl.read(spark)
+        new_hosts = fresh.select("host").distinct().join(
+            known.select("host"), "host", "left_anti"
+        )
+        new_rules = fetch_robots(new_hosts, mode=job._robots_mode())
+        if new_rules.limit(1).count():
+            job.robots_tbl.commit(known.unionByName(new_rules))
+            known = job.robots_tbl.read(spark)
+        fresh = robots_filter(fresh, known, mark=True)
+
+    fresh = fresh.select(*frontier.columns).persist()
+    try:
+        n_new = fresh.filter(F.col("status") == "pending").count()
+        n_blocked = fresh.filter(F.col("status") == "blocked").count()
+        if n_new + n_blocked == 0:
+            return 0
+        m = job.frontier_tbl.manifest()["metrics"]
+        job.frontier_tbl.commit(
+            frontier.unionByName(fresh),
+            metrics={
+                **m,
+                "pending": int(m["pending"]) + n_new,
+                "total": int(m.get("total", 0)) + n_new,
+                "blocked": int(m.get("blocked", 0)) + n_blocked,
+            },
+            state=job.frontier_tbl.carry_state(),
+        )
+    finally:
+        fresh.unpersist()
     return n_new
 
 
