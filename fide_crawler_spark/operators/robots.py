@@ -26,7 +26,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-ROBOTS_SCHEMA = "host string, rules array<string>"
+ROBOTS_SCHEMA = "host string, rules array<string>, ok boolean"
 
 
 def _synthetic_rules(host: str) -> list[str]:
@@ -69,24 +69,31 @@ def fetch_robots(hosts: DataFrame, mode: str = "synthetic") -> DataFrame:
                 continue
             if mode == "synthetic":
                 rules = [_synthetic_rules(h) for h in pdf["host"]]
+                oks = [True] * len(pdf)
             else:
                 import urllib.error
                 import urllib.request
 
-                rules = []
+                rules, oks = [], []
                 for h in pdf["host"]:
                     try:
                         with urllib.request.urlopen(
                             f"https://{h}/robots.txt", timeout=10
                         ) as resp:
                             rules.append(_parse_robots_txt(resp.read().decode()))
+                            oks.append(True)
                     except urllib.error.HTTPError as err:
                         # RFC 9309 §2.3.1: 4xx "unavailable" → crawl
                         # allowed; 5xx/other "unreachable" → full disallow
-                        rules.append([] if 400 <= err.code < 500 else ["/"])
+                        # UNTIL re-fetched (ok=False marks a transient
+                        # answer the cache must not pin forever)
+                        ok4 = 400 <= err.code < 500
+                        rules.append([] if ok4 else ["/"])
+                        oks.append(ok4)
                     except Exception:
                         rules.append(["/"])  # unreachable → fail CLOSED
-            yield pd.DataFrame({"host": pdf["host"], "rules": rules})
+                        oks.append(False)
+            yield pd.DataFrame({"host": pdf["host"], "rules": rules, "ok": oks})
 
     return hosts.select("host").distinct().mapInPandas(run, schema=ROBOTS_SCHEMA)
 
@@ -102,6 +109,7 @@ def robots_filter(
     """Apply the cached rules: rows whose path matches any disallow
     prefix are marked status='blocked' (mark=True — they stay in the
     frontier as an audit trail and never dequeue) or dropped."""
+    extra = [c for c in robots.columns if c != "host"]
     joined = frontier.join(F.broadcast(robots), "host", "left")
     path = url_path(F.col("url"))
     blocked = F.exists(
@@ -111,5 +119,5 @@ def robots_filter(
     if mark:
         return joined.withColumn(
             "status", F.when(blocked, F.lit("blocked")).otherwise(F.col("status"))
-        ).drop("rules")
-    return joined.filter(~blocked).drop("rules")
+        ).drop(*extra)
+    return joined.filter(~blocked).drop(*extra)

@@ -317,6 +317,7 @@ class CrawlJob:
                 "failed": n_failed,
                 "pending": n_pending,
                 "total": int(m.get("total", -1)),
+                "blocked": int(m.get("blocked", 0)),
             },
             state=state,
             lineage=lineage,

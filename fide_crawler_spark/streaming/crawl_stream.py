@@ -63,30 +63,47 @@ def admit_seeds(job: CrawlJob, seeds: DataFrame) -> int:
 
     if job.respect_robots:
         from fide_crawler_spark.operators.robots import fetch_robots, robots_filter
+        from fide_crawler_spark.sources.snapshot import upsert
 
         known = job.robots_tbl.read(spark)
+        # re-fetch hosts that are unknown OR whose cached answer was a
+        # transient failure (ok=False, fail-closed per RFC 9309 — the
+        # cache must not pin a timed-out host to full-disallow forever)
+        settled = known.filter(F.col("ok")).select("host")
         new_hosts = fresh.select("host").distinct().join(
-            known.select("host"), "host", "left_anti"
+            settled, "host", "left_anti"
         )
-        new_rules = fetch_robots(new_hosts, mode=job._robots_mode())
-        if new_rules.limit(1).count():
-            job.robots_tbl.commit(known.unionByName(new_rules))
+        # probe the HOST set (no robots fetch) before deciding to
+        # refresh — evaluating new_rules twice would fetch twice and
+        # could cache a different answer than the one admitted against
+        if new_hosts.limit(1).count():
+            new_rules = fetch_robots(new_hosts, mode=job._robots_mode())
+            upsert(job.robots_tbl, spark, new_rules, "host")
             known = job.robots_tbl.read(spark)
         fresh = robots_filter(fresh, known, mark=True)
 
     fresh = fresh.select(*frontier.columns).persist()
     try:
-        n_new = fresh.filter(F.col("status") == "pending").count()
-        n_blocked = fresh.filter(F.col("status") == "blocked").count()
-        if n_new + n_blocked == 0:
+        counts = {
+            r["status"]: int(r["count"])
+            for r in fresh.groupBy("status").count().collect()
+        }
+        if not counts:
             return 0
+        n_new = counts.get("pending", 0)
+        n_blocked = counts.get("blocked", 0)
+        # 'total' counts every non-blocked admitted row — imported rows
+        # with status='fetched' must widen total (keeping the scheduler's
+        # "pending == total ⇒ nothing fetched" proof sound) and must be
+        # committed, not dropped
+        n_total_add = sum(counts.values()) - n_blocked
         m = job.frontier_tbl.manifest()["metrics"]
         job.frontier_tbl.commit(
             frontier.unionByName(fresh),
             metrics={
                 **m,
                 "pending": int(m["pending"]) + n_new,
-                "total": int(m.get("total", 0)) + n_new,
+                "total": int(m.get("total", 0)) + n_total_add,
                 "blocked": int(m.get("blocked", 0)) + n_blocked,
             },
             state=job.frontier_tbl.carry_state(),

@@ -35,15 +35,19 @@ def test_dequeue_rank_on_large_input_stays_parallel(spark):
         F.col("id").cast("int").alias("seed_pos"),
     )
     frontier = generate_frontier(seeds, "1983-04-01", "2024-12-01")  # 500 months
-    n = 2000 * 501
     stats: dict = {}
+    caches: list = []
     batch = dequeue_rank(
-        frontier, "host", priority_order(), budget_per_host=1000, stats_out=stats
+        frontier, "host", priority_order(), budget_per_host=1000,
+        stats_out=stats, caches=caches,
     )
-    rows = batch.select("seed_pos", "period", "rank").orderBy("rank").collect()
+    try:
+        rows = batch.select("seed_pos", "period", "rank").orderBy("rank").collect()
+    finally:
+        for c in caches:
+            c.unpersist()
     assert stats["n_survivors"] == 1000 == len(rows)
     # exact semantics: the top 1000 by (seed_pos, period) = seeds 0..1,
     # then seed 2's first 498 months... i.e. ranks follow seed_pos asc
     assert [r["rank"] for r in rows] == list(range(1, 1001))
     assert rows[0]["seed_pos"] == 0 and rows[-1]["seed_pos"] == 1000 // 501
-    assert n == frontier.count()

@@ -111,3 +111,42 @@ def test_streaming_crawl_with_cuckoo_and_robots(spark, tmp_path):
         .filter(F.col("status") == "fetched").select("url_hash").collect()
     ]
     assert fetched_hashes and all(ck.contains(h) for h in fetched_hashes)
+
+
+def test_blocked_metric_survives_epochs(spark, tmp_path):
+    """'blocked' must accumulate across admits even when crawl epochs
+    run in between (epoch commits previously reset it to 0)."""
+    import zlib
+    host = next(
+        h for h in (f"bm{i}.example.com" for i in range(50))
+        if zlib.crc32(h.encode()) % 4 == 0
+    )
+    digit = (zlib.crc32(host.encode()) // 4) % 4 + 1
+    blocked_fid, ok_fid = str(digit) * 7, str((digit % 4) + 1) * 7
+
+    def mk(fid, month, pos):
+        return {
+            "url": (f"https://{host}/a_indv_calculations.php"
+                    f"?id_number={fid}&rating_period=2023-{month:02d}-01&t=0"),
+            "host": host, "fide_id": fid, "period": f"2023-{month:02d}-01",
+            "depth": 2, "host_rank": 0, "recrawl_age": 0, "seed_pos": pos,
+            "status": "pending", "retry_count": 0, "epoch": -1,
+        }
+
+    seed_dir = str(tmp_path / "seeds3")
+    os.makedirs(seed_dir)
+    # batch 0: one blocked + one ok; batch 1 (after epochs ran): another blocked
+    with open(f"{seed_dir}/b0.json", "w") as f:
+        f.write(json.dumps(mk(blocked_fid, 1, 0)) + "\n" + json.dumps(mk(ok_fid, 1, 1)))
+    with open(f"{seed_dir}/b1.json", "w") as f:
+        f.write(json.dumps(mk(blocked_fid, 2, 0)))
+
+    job = CrawlJob(spark, str(tmp_path / "wd3"), budget_per_host=8,
+                   n_salts=2, respect_robots=True)
+    q = start_streaming_crawl(job, seed_dir, str(tmp_path / "ckpt3"), max_files=1)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    m = job.frontier_tbl.manifest()["metrics"]
+    assert m["blocked"] == 2, m
