@@ -97,12 +97,18 @@ def fingerprint(docs: DataFrame) -> DataFrame:
     toks = F.posexplode(tokens_col()).alias("pos", "tok")
     exploded = docs.select("doc_id", toks)
     code = F.length("tok") * 31 + F.ascii("tok")
+    # Reduce mod M INSIDE the sum: Spark SUM(BIGINT) wraps at 2^63
+    # while DuckDB promotes to 128-bit, so the two mods diverge once a
+    # document's position-weighted sum exceeds int64.  With per-term
+    # reduction the partial sums stay ≤ n_tokens·M — overflow-safe (and
+    # identical) on both engines.
+    term = F.pmod(
+        (F.col("pos") + 1).cast("bigint") * code.cast("bigint"),
+        F.lit(FINGERPRINT_MOD),
+    )
     return (
         exploded.groupBy("doc_id")
         .agg(
-            F.pmod(
-                F.sum((F.col("pos") + 1).cast("bigint") * code.cast("bigint")),
-                F.lit(FINGERPRINT_MOD),
-            ).alias("fingerprint")
+            F.pmod(F.sum(term), F.lit(FINGERPRINT_MOD)).alias("fingerprint")
         )
     )

@@ -9,7 +9,12 @@ hashes values after sorting columns by name.
 
 Float discipline: money-style sums are computed in DECIMAL on both
 sides (exact, order-independent — a double sum's low bits depend on
-partition order); averages/ratios are rounded to 4 decimals.
+partition order), but every FINAL output column is DOUBLE, never
+DECIMAL: an exact decimal casts to the same nearest double in Spark
+and DuckDB, whereas Decimal objects surface with engine-specific
+scale/representation and fail the driver's pandas value-hash.
+Averages/ratios are floor-rounded — FLOOR(x*1e4+0.5)/1e4, not
+ROUND(double,4), which disagrees between engines on ...4999 halves.
 """
 
 from __future__ import annotations
@@ -55,7 +60,7 @@ def query(name: str, sql: str | None = None):
     SELECT CAST(o_orderdate AS DATE) AS order_day,
            COUNT(DISTINCT o_orderkey) AS n_orders,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
-                    * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,8))
+                    * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
                AS revenue
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY 1 ORDER BY order_day DESC LIMIT 3
@@ -63,7 +68,13 @@ def query(name: str, sql: str | None = None):
 )
 def flagship_last3_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G1 group-multi-agg + F2 top-k latest (ui/streamlit_ui.py:164-187):
-    revenue summary of the 3 most recent order days."""
+    revenue summary of the 3 most recent order days.
+
+    Sum in DECIMAL (exact, order-independent), then cast the FINAL
+    output to DOUBLE: an exact decimal converts to the same nearest
+    double in Spark and DuckDB, while Decimal objects hash differently
+    from float64 in the driver's pandas-based compare.
+    """
     li, o = load(spark, sf_dir, "lineitem"), load(spark, sf_dir, "orders")
     rev = (F.col("l_extendedprice").cast("decimal(18,4)")
            * (F.lit(1) - F.col("l_discount").cast("decimal(18,4)")))
@@ -72,7 +83,7 @@ def flagship_last3_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("o_orderdate").cast("date").alias("order_day"))
         .agg(
             F.countDistinct("o_orderkey").alias("n_orders"),
-            F.sum(rev).cast("decimal(38,8)").alias("revenue"),
+            F.sum(rev).cast("double").alias("revenue"),
         )
         .orderBy(F.desc("order_day"))
         .limit(3)
@@ -86,11 +97,12 @@ def flagship_last3_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q1_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_base,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
-                    * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,8)) AS sum_disc,
-           ROUND(AVG(l_quantity), 4) AS avg_qty,
+                    * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc,
+           FLOOR(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                 / COUNT(l_quantity) * 10000 + 0.5) / 10000 AS avg_qty,
            COUNT(*) AS n
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -100,18 +112,25 @@ def flagship_last3_days(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G1/G4/G5 grouped multi-agg (ui/streamlit_ui.py:164-167) in TPC-H
-    Q1 shape; filter pushed to the parquet scan."""
+    Q1 shape; filter pushed to the parquet scan.
+
+    DECIMAL internally (exact), DOUBLE out (hash-stable vs the oracle);
+    avg = exact-decimal sum → double ÷ count, floor-rounded — the ROUND
+    half-case discipline from textstats.quality_score.
+    """
     li = load(spark, sf_dir, "lineitem")
     dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    avg_qty = (F.sum(dec("l_quantity")).cast("double")
+               / F.count("l_quantity"))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(dec("l_quantity")).cast("decimal(38,4)").alias("sum_qty"),
-            F.sum(dec("l_extendedprice")).cast("decimal(38,4)").alias("sum_base"),
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base"),
             F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
-            .cast("decimal(38,8)").alias("sum_disc"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            .cast("double").alias("sum_disc"),
+            (F.floor(avg_qty * 10000 + F.lit(0.5)) / 10000).alias("avg_qty"),
             F.count(F.lit(1)).alias("n"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -121,8 +140,14 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q2_conditional_slices",
     """
-    SELECT ROUND(AVG(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 4) AS avg_f,
-           ROUND(AVG(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 4) AS avg_o,
+    SELECT FLOOR(CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                        THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE)
+                 / COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END)
+                 * 10000 + 0.5) / 10000 AS avg_f,
+           FLOOR(CAST(SUM(CASE WHEN o_orderstatus = 'O'
+                        THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE)
+                 / COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END)
+                 * 10000 + 0.5) / 10000 AS avg_o,
            SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS n_urgent,
            SUM(CASE WHEN o_totalprice > 1000 THEN 1 ELSE 0 END) AS n_big,
            COUNT(*) AS n
@@ -133,9 +158,21 @@ def q2_conditional_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G2 one-pass conditional aggregates (ui/streamlit_ui.py:268-276:
     six avg slices computed in ONE scan via avg(when(...)))."""
     o = load(spark, sf_dir, "orders")
+
+    def cond_avg(status: str):
+        # exact decimal sum → double, ÷ slice count, floor-round:
+        # order-independent and identical in both engines (ROUND(double)
+        # disagrees between Spark and DuckDB on ...4999 halves).
+        s = F.sum(
+            F.when(F.col("o_orderstatus") == status,
+                   F.col("o_totalprice").cast("decimal(18,4)"))
+        ).cast("double")
+        n = F.count(F.when(F.col("o_orderstatus") == status, F.lit(1)))
+        return F.floor(s / n * 10000 + F.lit(0.5)) / 10000
+
     return o.agg(
-        F.round(F.avg(F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice"))), 4).alias("avg_f"),
-        F.round(F.avg(F.when(F.col("o_orderstatus") == "O", F.col("o_totalprice"))), 4).alias("avg_o"),
+        cond_avg("F").alias("avg_f"),
+        cond_avg("O").alias("avg_o"),
         F.sum(F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)).alias("n_urgent"),
         F.sum(F.when(F.col("o_totalprice") > 1000, 1).otherwise(0)).alias("n_big"),
         F.count(F.lit(1)).alias("n"),
@@ -202,7 +239,7 @@ def q4_substring_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c_mktsegment,
            COUNT(DISTINCT o_orderkey) AS n_orders,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
-                    * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,8)) AS revenue
+                    * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON o_orderkey = l_orderkey
@@ -222,7 +259,7 @@ def q5_broadcast_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.countDistinct("o_orderkey").alias("n_orders"),
-            F.sum(rev).cast("decimal(38,8)").alias("revenue"),
+            F.sum(rev).cast("double").alias("revenue"),
         )
         .orderBy("c_mktsegment")
     )
@@ -488,7 +525,7 @@ def q14_sorted_distinct_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q15_rollup",
     """
     SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_qty
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
     FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
     ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
     """,
@@ -501,7 +538,7 @@ def q15_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.col("l_quantity").cast("decimal(18,4)"))
-            .cast("decimal(38,4)").alias("sum_qty"),
+            .cast("double").alias("sum_qty"),
         )
         .orderBy(
             F.col("l_returnflag").asc_nulls_first(),
@@ -709,8 +746,9 @@ def q21_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q22_fingerprint",
     """
     SELECT doc_id,
-           MOD(SUM(CAST(pos AS BIGINT) * (31 * LENGTH(tok) + ASCII(tok))),
-               2147483647) AS fingerprint
+           CAST(MOD(SUM(MOD(CAST(pos AS BIGINT) * (31 * LENGTH(tok) + ASCII(tok)),
+                            2147483647)),
+                    2147483647) AS BIGINT) AS fingerprint
     FROM (
       SELECT doc_id,
              UNNEST(string_split(text, ' ')) AS tok,
@@ -892,8 +930,18 @@ def q29_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("q30_simhash_buckets")
 def q30_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash equal-fingerprint near-dup buckets."""
-    return D.simhash_buckets(load(spark, sf_dir, "documents")).orderBy("simhash")
+    """SimHash equal-fingerprint near-dup buckets.  ``docs`` is joined
+    to a scalar string: the driver's canonicalizer (pandas sort_values)
+    cannot factorize array columns."""
+    return (
+        D.simhash_buckets(load(spark, sf_dir, "documents"))
+        .select(
+            "simhash",
+            "n_docs",
+            F.array_join("docs", ",").alias("docs"),
+        )
+        .orderBy("simhash")
+    )
 
 
 @query("q31_embedding_neardup")
@@ -913,10 +961,27 @@ def q32_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ann_topk_ivf(emb, qv, k=10, n_cells=16, n_probe=4)
 
 
-@query("q33_media_features")
+@query(
+    "q33_media_features",
+    """
+    SELECT d.doc_id,
+           CAST(64 + d.n_chars % 128 AS INT) AS width,
+           CAST(64 + (d.n_chars * 3) % 128 AS INT) AS height,
+           CAST(octet_length(encode(d.text)) AS BIGINT) AS n_bytes,
+           CAST(s.checksum AS BIGINT) AS checksum
+    FROM documents d JOIN (
+      SELECT doc_id, SUM(ascii(c)) AS checksum
+      FROM (SELECT doc_id, UNNEST(string_split(text, '')) AS c FROM documents)
+      GROUP BY doc_id
+    ) s USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+)
 def q33_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode/feature-extract plumbing over mapInPandas (stubbed
-    kernel, real batching)."""
+    kernel, real batching).  The scalar outputs (dims, byte length,
+    byte-sum checksum) ARE oracle-able: the synthetic documents are
+    ASCII, so the utf-8 byte sum equals the per-char codepoint sum."""
     m = MM.media_table(load(spark, sf_dir, "documents"))
     return MM.decode_media(m).drop("features").orderBy("doc_id")
 
@@ -959,22 +1024,25 @@ def q35_crawl_to_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q36_pivot",
     """
     SELECT l_returnflag,
-           CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DECIMAL(38,4)) AS qty_o,
-           CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DECIMAL(38,4)) AS qty_f
+           CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE) AS qty_o,
+           CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE) AS qty_f
     FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """,
 )
 def q36_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pivot (wide conditional aggregation)."""
+    """Pivot (wide conditional aggregation).  The aggregate itself is a
+    DECIMAL sum (exact, partition-order-independent — summing the raw
+    double and casting after would be order-dependent at scale); the
+    final outputs are DOUBLE for hash-stable oracle comparison."""
     li = load(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")
         .pivot("l_linestatus", ["O", "F"])
-        .sum("l_quantity")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,4)")))
         .select(
             "l_returnflag",
-            F.col("O").cast("decimal(18,4)").cast("decimal(38,4)").alias("qty_o"),
-            F.col("F").cast("decimal(18,4)").cast("decimal(38,4)").alias("qty_f"),
+            F.col("O").cast("double").alias("qty_o"),
+            F.col("F").cast("double").alias("qty_f"),
         )
         .orderBy("l_returnflag")
     )
@@ -1141,7 +1209,7 @@ def q40_gap_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id, session_id,
            COUNT(*) AS n_events,
-           ROUND(SUM(value), 4) AS session_value
+           FLOOR(SUM(value) * 10000 + 0.5) / 10000 AS session_value
     FROM sess GROUP BY user_id, session_id
     ORDER BY user_id, session_id
     """,
@@ -1168,7 +1236,9 @@ def q41_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "session_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("session_value"),
+            # floor-round, not ROUND(double): see quality_score's note
+            (F.floor(F.sum("value") * 10000 + F.lit(0.5)) / 10000)
+            .alias("session_value"),
         )
         .orderBy("user_id", "session_id")
     )
@@ -1231,7 +1301,7 @@ def q43_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT n_name,
            COUNT(DISTINCT c_custkey) AS n_customers,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS total_spend
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_spend
     FROM nation
     JOIN customer ON c_nationkey = n_nationkey
     JOIN orders   ON o_custkey = c_custkey

@@ -30,7 +30,11 @@ def _norm(v):
     if v is None:
         return "NULL"
     if isinstance(v, decimal.Decimal):
-        return f"dec:{v.normalize()}"
+        # no normalize(): the driver's pandas hash sees engine-specific
+        # Decimal representations, so a Decimal output column is a bug
+        # (queries must cast final DECIMALs to DOUBLE) — keep the raw
+        # string so scale mismatches fail here first.
+        return f"dec:{v}"
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
