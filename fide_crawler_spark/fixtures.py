@@ -42,6 +42,8 @@ CITIES = ["Wijk aan Zee", "Menorca", "Stavanger", "Bucharest", "Saint Louis",
           "Dusseldorf", "Warsaw", "Baku", "Chennai", "Sharjah", "Prague",
           "Reykjavik"]
 RESULTS = [1.0, 0.5, 0.0]
+TITLES = ["Grandmaster", "International Master", "FIDE Master",
+          "Candidate Master", "None", "Woman Grandmaster"]
 
 
 def stable_seed(key: str) -> int:
@@ -55,6 +57,168 @@ def calc_url(fide_id: str, period: str) -> str:
         "https://ratings.fide.com/a_indv_calculations.php"
         f"?id_number={fide_id}&rating_period={period}&t=0"
     )
+
+
+def profile_url(fide_id: str) -> str:
+    """Profile URL shape per data_fetching_processing.py:87."""
+    return f"https://ratings.fide.com/profile/{fide_id}"
+
+
+def synth_profile(fide_id: str) -> dict:
+    """Ground-truth ``player_data`` record for a profile page — the
+    reference's scrapePlayerData output / player_data table schema
+    (data_fetching_processing.py:92-116, database_management.py:8-24;
+    all columns TEXT, missing fields default to '' via safe_extract).
+
+    Every field is pure modular arithmetic of the numeric id, so a SQL
+    oracle (DuckDB) can recompute the expected record independently of
+    the render→fetch→parse pipeline under test.
+    """
+    fid = int(fide_id)
+    return {
+        "fide_id": str(fide_id),
+        "name": f"{FIRST[fid % 20]} {LAST[fid // 20 % 20]}",
+        "federation": COUNTRIES[fid % 16],
+        "b_year": str(1950 + fid * 3 % 60),
+        "sex": "Female" if fid % 4 == 0 else "Male",
+        "fide_title": TITLES[fid % 6],
+        "std_rating": str(2000 + fid * 13 % 800),
+        "rapid_rating": "" if fid % 7 == 0 else str(2000 + fid * 17 % 800),
+        "blitz_rating": "" if fid % 3 == 0 else str(2000 + fid * 19 % 800),
+        "profile_photo": f"data:image/jpeg;base64,p{fid % 97}",
+        "world_rank": "" if fid % 5 == 0 else str(fid * 7 % 1000 + 1),
+    }
+
+
+def render_profile_page(fide_id: str) -> str:
+    """Serialize a profile record into an HTML-ish page mirroring the
+    selectors scrapePlayerData reads (profile-top-title, labeled
+    sibling divs, profile-top__photo img, profile-top-rating-data).
+    Empty fields omit their markup entirely, so the parser's
+    safe-extract default ('') is exercised, not just round-tripped."""
+    p = synth_profile(fide_id)
+    lines = [f"<html><body><!-- profile:{fide_id} -->"]
+    lines.append(f'<div class="profile-top-title">{p["name"]}</div>')
+    lines.append(
+        f'<div class="profile-top__photo"><img src="{p["profile_photo"]}"></div>'
+    )
+    for label, key in [
+        ("World Rank (Active):", "world_rank"),
+        ("Federation:", "federation"),
+        ("B-Year:", "b_year"),
+        ("Sex:", "sex"),
+        ("FIDE title:", "fide_title"),
+    ]:
+        if p[key]:
+            lines.append(f"<div>{label}</div><div>{p[key]}</div>")
+    for kind in ("std", "rapid", "blitz"):
+        v = p[f"{kind}_rating"]
+        if v:
+            lines.append(
+                f'<div class="profile-top-rating-data"><span>{kind}</span> {v}</div>'
+            )
+    lines.append("</body></html>")
+    return "\n".join(lines)
+
+
+PROFILE_FIELDS = [
+    "fide_id", "name", "federation", "b_year", "sex", "fide_title",
+    "std_rating", "rapid_rating", "blitz_rating", "profile_photo",
+    "world_rank",
+]
+
+
+def parse_profile_page(fide_id: str, html: str) -> dict:
+    """Profile page → player_data dict (scrapePlayerData's Spark-side
+    kernel; missing markup → '' like safe_extract's default).  Pure
+    line parse — called per Arrow batch by the profile stage and
+    directly by the sequential oracle."""
+    rec = {k: "" for k in PROFILE_FIELDS}
+    rec["fide_id"] = str(fide_id)
+    labels = {
+        "World Rank (Active):": "world_rank",
+        "Federation:": "federation",
+        "B-Year:": "b_year",
+        "Sex:": "sex",
+        "FIDE title:": "fide_title",
+    }
+    for line in html.split("\n"):
+        line = line.strip()
+        if line.startswith('<div class="profile-top-title">'):
+            rec["name"] = line[len('<div class="profile-top-title">'):-len("</div>")]
+        elif '<img src="' in line and "profile-top__photo" in line:
+            start = line.index('<img src="') + len('<img src="')
+            rec["profile_photo"] = line[start:line.index('">', start)]
+        elif line.startswith('<div class="profile-top-rating-data">'):
+            body = line[len('<div class="profile-top-rating-data">'):-len("</div>")]
+            kind = body[len("<span>"):body.index("</span>")]
+            value = "".join(ch for ch in body if ch.isdigit())
+            rec[f"{kind}_rating"] = value
+        else:
+            for label, key in labels.items():
+                probe = f"<div>{label}</div><div>"
+                if line.startswith(probe):
+                    rec[key] = line[len(probe):-len("</div>")]
+    return rec
+
+
+def search_url(query: str) -> str:
+    """Seed-search URL shape per data_fetching_processing.py:30-36."""
+    return f"https://ratings.fide.com/incl_search_l.php?search={query}&simple=1"
+
+
+def render_search_page(query: str) -> str:
+    """Synthetic search-results page: member-blocks with (position name,
+    title, profile href) per data_fetching_processing.py:47-78.  A
+    seeded PRNG keyed on the query emits 3-12 entries, interleaved with
+    news links and id-less hrefs that the admission filter must drop."""
+    rng = random.Random(stable_seed("search:" + query))
+    lines = [f"<html><body><!-- search:{query} -->", '<div class="member-block">']
+    for i in range(rng.randint(3, 12)):
+        fid = str(rng.randint(1000000, 9999999))
+        name = f"{rng.choice(FIRST)} {rng.choice(LAST)}"
+        title = rng.choice(TITLES)
+        r = rng.random()
+        if r < 0.15:
+            href = f"/news/{fid}"          # dropped: 'news' in url
+        elif r < 0.25:
+            href = "/profile/unrated"      # dropped: no numeric id
+        else:
+            href = f"/profile/{fid}"
+        lines.append(
+            '<div class="member-block__one">'
+            f'<span class="member-block-info-position">{name}</span>'
+            f'<span class="member-block-info-name">{title}</span>'
+            f'<a href="{href}"></a></div>'
+        )
+    lines.append("</div></body></html>")
+    return "\n".join(lines)
+
+
+def parse_search_page(html: str) -> list[dict]:
+    """Search page → [{name, title, url}] in document order (the Spark
+    stage and the sequential oracle share this kernel; admission —
+    profile-only, numeric id — happens downstream in
+    canonicalize_profile_urls, mirroring the reference's filter at
+    data_fetching_processing.py:66-73)."""
+    out = []
+    for line in html.split("\n"):
+        line = line.strip()
+        if not line.startswith('<div class="member-block__one">'):
+            continue
+
+        def between(pre: str, post: str) -> str:
+            i = line.index(pre) + len(pre)
+            return line[i:line.index(post, i)]
+
+        out.append(
+            {
+                "name": between('info-position">', "</span>"),
+                "title": between('info-name">', "</span>"),
+                "url": between('<a href="', '"'),
+            }
+        )
+    return out
 
 
 @dataclass(frozen=True)

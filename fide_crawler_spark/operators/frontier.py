@@ -76,16 +76,22 @@ def generate_frontier(
 def canonicalize_profile_urls(urls: DataFrame, url_col: str = "url") -> DataFrame:
     """Seed-search admission + canonicalization (B10 + H1).
 
-    Keeps URLs matching the reference's filter and rewrites them to the
-    canonical profile form keyed by the extracted numeric id.
+    Keeps URLs matching the reference's filter
+    (data_fetching_processing.py:66-73: 'profile' in url, 'news' not in
+    url, numeric id extractable) and rewrites them to the canonical
+    profile form keyed by the extracted id.  All other input columns
+    pass through, so the search stage's (name, title, result_pos)
+    survive admission.
     """
     admitted = urls.filter(
         F.col(url_col).contains("profile") & ~F.col(url_col).contains("news")
     )
     fide_id = F.regexp_extract(F.col(url_col), r"/profile/(\d+)", 1)
+    passthrough = [c for c in urls.columns if c not in ("fide_id", url_col)]
     return admitted.select(
         fide_id.alias("fide_id"),
         F.concat(F.lit("https://ratings.fide.com/profile/"), fide_id).alias("url"),
+        *passthrough,
     ).filter(F.col("fide_id") != "")
 
 

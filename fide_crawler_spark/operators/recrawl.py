@@ -66,31 +66,36 @@ def gap_analysis(requests: DataFrame, bounds: DataFrame) -> DataFrame:
 
 
 def force_recrawl(
-    frontier: DataFrame, urls: DataFrame, cuckoo: CuckooFilter
-) -> tuple[DataFrame, CuckooFilter]:
+    frontier: DataFrame, urls: DataFrame, cuckoo
+) -> tuple[DataFrame, "CuckooFilter"]:
     """Re-admit specific URLs: delete their fingerprints from the
-    deletable URL-seen filter and reset their frontier rows to pending
-    with recrawl_age+1 (priority boost per frontier.priority_order).
+    deletable URL-seen filter (CuckooFilter or PartitionedCuckoo — both
+    expose delete) and reset their frontier rows to pending with
+    recrawl_age+1 (priority boost per frontier.priority_order).
 
-    The cuckoo maintenance is driver-side here (the re-admission set is
-    operator-chosen and small); at full scale it shards per
-    ``url_hash % n_parts`` exactly like PartitionedBloom."""
+    Only rows currently ``fetched`` flip: a robots-'blocked' row must
+    stay blocked (re-admitting it would bypass robots admission), and a
+    pending/failed row is already on its way — flipping it would only
+    corrupt the scheduler's pending count.
+
+    The fingerprint deletes are driver-side here (the re-admission set
+    is operator-chosen and small); bulk inserts go through the sharded
+    executor-side path (urlseen.update_cuckoo)."""
     for row in urls.select("url_hash").distinct().collect():
         cuckoo.delete(int(row["url_hash"]))
     # distinct: a duplicated key would fan the join out and DUPLICATE
     # frontier rows (each copy then gets dequeued and fetched)
     keys = urls.select("url").distinct().withColumn("_force", F.lit(True))
+    flip = F.col("_force").isNotNull() & (F.col("status") == "fetched")
     updated = (
         frontier.join(keys, "url", "left")
         .withColumn(
-            "status",
-            F.when(F.col("_force"), F.lit("pending")).otherwise(F.col("status")),
+            "recrawl_age",
+            F.when(flip, F.col("recrawl_age") + 1).otherwise(F.col("recrawl_age")),
         )
         .withColumn(
-            "recrawl_age",
-            F.when(F.col("_force"), F.col("recrawl_age") + 1).otherwise(
-                F.col("recrawl_age")
-            ),
+            "status",
+            F.when(flip, F.lit("pending")).otherwise(F.col("status")),
         )
         .drop("_force")
     )

@@ -33,10 +33,11 @@ from fide_crawler_spark.operators.frontier import priority_order
 from fide_crawler_spark.operators.parse import fetch_parse_stage
 from fide_crawler_spark.operators.rank import dequeue_rank
 from fide_crawler_spark.operators.urlseen import (
-    CuckooFilter,
     PartitionedBloom,
+    PartitionedCuckoo,
     build_bloom,
     filter_unseen,
+    update_cuckoo,
 )
 from fide_crawler_spark.sources.snapshot import SnapshotTable
 
@@ -65,6 +66,7 @@ class CrawlJob:
         bloom_bits_per_part: int = 1 << 20,
         bloom_parts: int = 8,
         enable_cuckoo: bool = False,
+        cuckoo_buckets_per_part: int = 1 << 13,
         respect_robots: bool = False,
     ):
         self.spark = spark
@@ -76,6 +78,7 @@ class CrawlJob:
         self.bloom_parts = bloom_parts
         self.bloom_bits = bloom_bits_per_part
         self.enable_cuckoo = enable_cuckoo
+        self.cuckoo_buckets_per_part = cuckoo_buckets_per_part
         self.respect_robots = respect_robots
         self.frontier_tbl = SnapshotTable(os.path.join(workdir, "frontier"))
         self.docs_tbl = SnapshotTable(os.path.join(workdir, "documents"))
@@ -105,7 +108,9 @@ class CrawlJob:
         bloom = PartitionedBloom(self.bloom_parts, self.bloom_bits)
         state = {BLOOM_STATE: bloom.to_bytes()}
         if self.enable_cuckoo:
-            state[CUCKOO_STATE] = CuckooFilter().to_bytes()
+            state[CUCKOO_STATE] = PartitionedCuckoo(
+                self.bloom_parts, self.cuckoo_buckets_per_part
+            ).to_bytes()
 
         # single materialization: status counts derived from the written
         # files (finalize pattern), not from extra jobs over the input
@@ -279,30 +284,19 @@ class CrawlJob:
         if self.enable_cuckoo:
             # deletable URL-seen variant: maintained alongside the Bloom
             # so force_recrawl can remove fingerprints (Bloom cannot).
-            # Driver-side insert of this epoch's hashes (bounded by the
-            # politeness budget); the scale path shards per
-            # url_hash % n_parts exactly like PartitionedBloom.
-            ck = CuckooFilter.from_bytes(self.frontier_tbl.state(CUCKOO_STATE))
-            epoch_hashes = [
-                int(r["h"])
-                for r in fetched_keys.select(F.xxhash64("url").alias("h")).collect()
-            ]
-            if not all(ck.insert(h) for h in epoch_hashes):
-                # filter full — a failed insert also evicts a victim
-                # fingerprint mid-kick, so the state is no longer
-                # trustworthy: rebuild larger from the source of truth
-                # (every fetched URL in the updated frontier)
-                all_hashes = [
-                    int(r["url_hash"])
-                    for r in new_frontier.filter(F.col("status") == "fetched")
-                    .select("url_hash").collect()
-                ]
-                n_buckets = ck.n_buckets
-                while True:
-                    n_buckets *= 2
-                    ck = CuckooFilter(n_buckets)
-                    if all(ck.insert(h) for h in all_hashes):
-                        break
+            # Sharded per url_hash % n_parts exactly like
+            # PartitionedBloom: this epoch's hashes are shuffled to
+            # their parts and inserted executor-side; an overflowing
+            # part is rebuilt bigger (again executor-side) from the
+            # fetched rows of the updated frontier.  The driver handles
+            # filter blobs only — no collect() of row-scale data.
+            ck = PartitionedCuckoo.from_bytes(self.frontier_tbl.state(CUCKOO_STATE))
+            ck = update_cuckoo(
+                spark,
+                fetched_keys.select(F.xxhash64("url").alias("url_hash")),
+                new_frontier.filter(F.col("status") == "fetched").select("url_hash"),
+                ck,
+            )
             state[CUCKOO_STATE] = ck.to_bytes()
 
         # pending after this epoch = previous pending − fetched (failed
@@ -384,7 +378,7 @@ class CrawlJob:
         from fide_crawler_spark.operators.recrawl import force_recrawl as _fr
 
         frontier = self.frontier_tbl.read(self.spark)
-        ck = CuckooFilter.from_bytes(self.frontier_tbl.state(CUCKOO_STATE))
+        ck = PartitionedCuckoo.from_bytes(self.frontier_tbl.state(CUCKOO_STATE))
         updated, ck = _fr(frontier, urls, ck)
         m = self.frontier_tbl.manifest()["metrics"]
         # only rows that actually flip fetched→pending change the count

@@ -264,3 +264,165 @@ class CuckooFilter:
             n_buckets, cls.SLOTS
         ).copy()
         return cf
+
+
+class PartitionedCuckoo:
+    """Sharded deletable URL-seen filter: one CuckooFilter per
+    ``url_hash % n_parts``, mirroring PartitionedBloom's layout so the
+    two structures stay co-partitioned with the frontier.
+
+    The driver only ever holds serialized part blobs; inserts run
+    executor-side via :func:`update_cuckoo` (hashes are shuffled by
+    part id — total driver traffic = the filter bytes, never the
+    hashes).  Parts resize independently, so one hot shard doubling
+    does not rewrite the other ``n_parts − 1`` tables.
+    """
+
+    MAGIC = b"PCK1"
+
+    def __init__(self, n_parts: int = 8, n_buckets_per_part: int = 1 << 13):
+        assert n_parts & (n_parts - 1) == 0, "n_parts must be a power of 2"
+        self.n_parts = n_parts
+        self.parts = [CuckooFilter(n_buckets_per_part) for _ in range(n_parts)]
+
+    def _pid(self, h: int) -> int:
+        return (int(h) & 0xFFFFFFFFFFFFFFFF) % self.n_parts
+
+    # driver-side single-key ops (small sets: forced-recrawl deletes,
+    # tests); bulk inserts go through update_cuckoo
+    def insert(self, h: int) -> bool:
+        return self.parts[self._pid(h)].insert(h)
+
+    def contains(self, h: int) -> bool:
+        return self.parts[self._pid(h)].contains(h)
+
+    def delete(self, h: int) -> bool:
+        return self.parts[self._pid(h)].delete(h)
+
+    def to_bytes(self) -> bytes:
+        # parts resize independently → store a length-prefixed blob per
+        # part rather than assuming uniform table sizes
+        blobs = [p.to_bytes() for p in self.parts]
+        header = self.MAGIC + np.array([self.n_parts], dtype=np.uint64).tobytes()
+        lens = np.array([len(b) for b in blobs], dtype=np.uint64).tobytes()
+        return header + lens + b"".join(blobs)
+
+    @classmethod
+    def from_bytes(cls, blob: bytes) -> "PartitionedCuckoo":
+        assert blob[:4] == cls.MAGIC, "bad partitioned-cuckoo blob"
+        n_parts = int(np.frombuffer(blob[4:12], dtype=np.uint64)[0])
+        lens = np.frombuffer(blob[12:12 + 8 * n_parts], dtype=np.uint64)
+        pc = cls.__new__(cls)
+        pc.n_parts = n_parts
+        pc.parts = []
+        off = 12 + 8 * n_parts
+        for ln in lens:
+            pc.parts.append(CuckooFilter.from_bytes(blob[off:off + int(ln)]))
+            off += int(ln)
+        return pc
+
+
+def _grow_part_with(hashes: np.ndarray, start_buckets: int) -> CuckooFilter:
+    """Build one part from its full hash set, doubling until it fits."""
+    n_buckets = max(start_buckets, 2)
+    while True:
+        cf = CuckooFilter(n_buckets)
+        if all(cf.insert(int(h)) for h in hashes):
+            return cf
+        n_buckets *= 2
+
+
+def update_cuckoo(
+    spark,
+    new_hashes: DataFrame,
+    all_hashes: DataFrame,
+    ck: PartitionedCuckoo,
+    hash_col: str = "url_hash",
+) -> PartitionedCuckoo:
+    """Distributed delta-insert into the sharded cuckoo filter.
+
+    ``new_hashes`` (this epoch's fetched url_hash rows) are shuffled by
+    part id; each task inserts into its own part(s) of the broadcast
+    filter and ships back only the mutated part blobs — the exact
+    protocol of :func:`build_bloom`.  A part that overflows is rebuilt
+    bigger in a second pass from ``all_hashes`` (the source of truth,
+    e.g. every fetched row of the frontier) — again executor-side,
+    touching only the overflowing part ids: a task holds one part's
+    full hash set (|fetched| / n_parts — size n_parts so this fits),
+    never the whole seen set, and the driver never collects a hash.
+    """
+    n_parts = ck.n_parts
+    blob_bc = spark.sparkContext.broadcast(ck.to_bytes())
+    part_of = F.pmod(F.col(hash_col).cast("long"), F.lit(n_parts))
+
+    def insert_parts(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        base: PartitionedCuckoo | None = None
+        local: dict[int, CuckooFilter] = {}
+        failed: set[int] = set()
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            if base is None:
+                base = PartitionedCuckoo.from_bytes(blob_bc.value)
+            hashes = pdf[hash_col].to_numpy().astype(np.uint64)
+            pids = (hashes % np.uint64(n_parts)).astype(np.int64)
+            for pid in np.unique(pids):
+                pid = int(pid)
+                if pid in failed:
+                    continue
+                cf = local.setdefault(pid, base.parts[pid])
+                for h in hashes[pids == pid]:
+                    if not cf.insert(int(h)):
+                        # a failed insert evicts a victim mid-kick →
+                        # this part's state is untrustworthy; flag for
+                        # the rebuild pass
+                        failed.add(pid)
+                        break
+        for pid, cf in local.items():
+            ok = pid not in failed
+            yield pd.DataFrame(
+                {"part": [pid], "ok": [ok],
+                 "blob": [cf.to_bytes() if ok else b""]}
+            )
+
+    rows = (
+        new_hashes.select(F.col(hash_col).cast("long").alias(hash_col))
+        .repartition(n_parts, part_of)
+        .mapInPandas(insert_parts, schema="part int, ok boolean, blob binary")
+        .collect()
+    )
+
+    out = PartitionedCuckoo.from_bytes(ck.to_bytes())  # copy untouched parts
+    overflowed = []
+    for r in rows:
+        if r["ok"]:
+            out.parts[int(r["part"])] = CuckooFilter.from_bytes(bytes(r["blob"]))
+        else:
+            overflowed.append(int(r["part"]))
+
+    if overflowed:
+        start_sizes = {pid: ck.parts[pid].n_buckets * 2 for pid in overflowed}
+
+        def rebuild_parts(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            acc: dict[int, list[np.ndarray]] = {}
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                hashes = pdf[hash_col].to_numpy().astype(np.uint64)
+                pids = (hashes % np.uint64(n_parts)).astype(np.int64)
+                for pid in np.unique(pids):
+                    acc.setdefault(int(pid), []).append(hashes[pids == pid])
+            for pid, chunks in acc.items():
+                cf = _grow_part_with(np.concatenate(chunks), start_sizes[pid])
+                yield pd.DataFrame({"part": [pid], "blob": [cf.to_bytes()]})
+
+        rebuilt = (
+            all_hashes.select(F.col(hash_col).cast("long").alias(hash_col))
+            .filter(part_of.isin(overflowed))
+            .repartition(len(overflowed), part_of)
+            .mapInPandas(rebuild_parts, schema="part int, blob binary")
+            .collect()
+        )
+        for r in rebuilt:
+            out.parts[int(r["part"])] = CuckooFilter.from_bytes(bytes(r["blob"]))
+    return out

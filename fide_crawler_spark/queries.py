@@ -1318,3 +1318,105 @@ def q44_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("nation", "customer", "orders"):
         load(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(ORACLE["q44_sql_api"])
+
+
+# --------------------------------------------------------------------------
+# Player-profile pipeline (SURVEY A2/J-2): the reference's second data
+# product, run end-to-end (URL build → fused fetch+parse → record) with
+# a full value oracle — every synth_profile field is modular arithmetic
+# of the id, so DuckDB recomputes the expected record independently of
+# the render→parse pipeline under test.
+# --------------------------------------------------------------------------
+from fide_crawler_spark import fixtures as FX  # noqa: E402
+from fide_crawler_spark.operators import profile as P  # noqa: E402
+
+
+def _sql_list(items: list[str]) -> str:
+    return "[" + ", ".join(f"'{x}'" for x in items) + "]"
+
+
+_PROFILE_FIELDS_SQL = f"""
+       list_extract({_sql_list(FX.FIRST)}, fid % 20 + 1) || ' ' ||
+         list_extract({_sql_list(FX.LAST)}, (fid // 20) % 20 + 1) AS name,
+       list_extract({_sql_list(FX.COUNTRIES)}, fid % 16 + 1) AS federation,
+       CAST(1950 + fid * 3 % 60 AS VARCHAR) AS b_year,
+       CASE WHEN fid % 4 = 0 THEN 'Female' ELSE 'Male' END AS sex,
+       list_extract({_sql_list(FX.TITLES)}, fid % 6 + 1) AS fide_title,
+       CAST(2000 + fid * 13 % 800 AS VARCHAR) AS std_rating,
+       CASE WHEN fid % 7 = 0 THEN ''
+            ELSE CAST(2000 + fid * 17 % 800 AS VARCHAR) END AS rapid_rating,
+       CASE WHEN fid % 3 = 0 THEN ''
+            ELSE CAST(2000 + fid * 19 % 800 AS VARCHAR) END AS blitz_rating,
+       'data:image/jpeg;base64,p' || CAST(fid % 97 AS VARCHAR) AS profile_photo,
+       CASE WHEN fid % 5 = 0 THEN ''
+            ELSE CAST(fid * 7 % 1000 + 1 AS VARCHAR) END AS world_rank
+"""
+
+
+@query(
+    "q45_player_profiles",
+    f"""
+    WITH ids AS (SELECT DISTINCT c_custkey AS fid FROM customer)
+    SELECT CAST(fid AS VARCHAR) AS fide_id,
+           {_PROFILE_FIELDS_SQL}
+    FROM ids ORDER BY fid
+    """,
+)
+def q45_player_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/J-2 scrapePlayerData end-to-end: customer keys as fide_ids →
+    profile URL build → fused fetch+parse (scalar-to-struct
+    mapInPandas) → player_data records
+    (data_fetching_processing.py:92-116, database_management.py:8-24)."""
+    ids = (
+        load(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").cast("string").alias("fide_id"))
+        .distinct()
+    )
+    return P.profiles_for_ids(spark, ids).orderBy(
+        F.col("fide_id").cast("bigint")
+    )
+
+
+@query(
+    "q46_profile_games_join",
+    f"""
+    WITH prof AS (
+      SELECT fid, {_PROFILE_FIELDS_SQL}
+      FROM (SELECT DISTINCT o_custkey AS fid FROM orders)
+    )
+    SELECT p.federation,
+           COUNT(DISTINCT p.fid) AS n_players,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS total_spend
+    FROM prof p JOIN orders o ON o.o_custkey = p.fid
+    GROUP BY p.federation ORDER BY p.federation
+    """,
+)
+def q46_profile_games_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1 against real profile rows (ui/streamlit_ui.py:93-128: profile
+    header joined to the player's game analytics): crawled player_data
+    records broadcast-joined to the fact table, revenue per federation."""
+    o = load(spark, sf_dir, "orders")
+    ids = o.select(F.col("o_custkey").cast("string").alias("fide_id")).distinct()
+    prof = P.profiles_for_ids(spark, ids).withColumn(
+        "fid", F.col("fide_id").cast("bigint")
+    )
+    return (
+        o.join(F.broadcast(prof), o.o_custkey == prof.fid)
+        .groupBy("federation")
+        .agg(
+            F.countDistinct("fid").alias("n_players"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double").alias("total_spend"),
+        )
+        .orderBy("federation")
+    )
+
+
+@query("q47_seed_search")
+def q47_seed_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fetch_players seed-search entry stage (rows-only: the synthetic
+    search page is PRNG-keyed, not SQL-recomputable; the pytest
+    sequential oracle is the correctness gate): query → member-block
+    parse → admission/canonicalization → seed list in result order."""
+    return P.seeds_from_query(spark, "carlsen")

@@ -15,6 +15,19 @@ from pyspark.sql import SparkSession
 
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+# Python workers resolve cloudpickled module-level functions by
+# importing their module, so the package root must be on the workers'
+# PYTHONPATH regardless of the driver's cwd (e.g. a driver harness
+# launched from another directory).  The env var must be set before the
+# JVM starts — workers inherit the JVM's environment.
+_PKG_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _PKG_ROOT not in os.environ.get("PYTHONPATH", "").split(os.pathsep):
+    os.environ["PYTHONPATH"] = (
+        _PKG_ROOT + os.pathsep + os.environ["PYTHONPATH"]
+        if os.environ.get("PYTHONPATH")
+        else _PKG_ROOT
+    )
+
 
 def get_spark(
     app_name: str = "fide_crawler_spark",

@@ -162,24 +162,43 @@ def test_cuckoo_overflow_rebuilds(spark, tmp_path):
     from fide_crawler_spark.fixtures import seed_frontier_rows
     from fide_crawler_spark.operators import scheduler as S
     from fide_crawler_spark.operators.scheduler import CrawlJob
-    from fide_crawler_spark.operators.urlseen import CuckooFilter
+    from fide_crawler_spark.operators.urlseen import PartitionedCuckoo
 
     rows = seed_frontier_rows([str(8800000 + i) for i in range(20)], "2023-01-01", 4)
     wd = str(tmp_path / "tinycuckoo")
     j = CrawlJob(spark, wd, budget_per_host=1000, n_salts=2, enable_cuckoo=True)
     j.init(spark.createDataFrame(rows))
-    # shrink the persisted filter to 2 buckets × 4 slots (capacity 8 < 80)
-    tiny = CuckooFilter(2)
+    # shrink the persisted parts to 2 buckets × 4 slots each
+    # (capacity 2×8 = 16 < 80) so the executor-side rebuild must fire
+    tiny = PartitionedCuckoo(2, 2)
     snap = j.frontier_tbl.latest()
     import os
     with open(os.path.join(j.frontier_tbl._dir(snap), "state", S.CUCKOO_STATE), "wb") as f:
         f.write(tiny.to_bytes())
     j.run()
-    ck = CuckooFilter.from_bytes(j.frontier_tbl.state(S.CUCKOO_STATE))
-    assert ck.n_buckets > 2, "filter did not grow"
+    ck = PartitionedCuckoo.from_bytes(j.frontier_tbl.state(S.CUCKOO_STATE))
+    assert max(p.n_buckets for p in ck.parts) > 2, "no part grew"
     fetched = j.frontier_tbl.read(spark).filter(F.col("status") == "fetched")
     missing = [
         r["url_hash"] for r in fetched.select("url_hash").collect()
         if not ck.contains(int(r["url_hash"]))
     ]
     assert not missing, f"{len(missing)} fetched URLs missing from rebuilt filter"
+
+
+def test_force_recrawl_never_readmits_blocked(spark):
+    """A robots-'blocked' row must stay blocked under force_recrawl
+    (re-admission would bypass robots), and pending rows are a no-op."""
+    frontier = spark.createDataFrame(
+        [("b1", 1, "blocked", 0), ("f1", 2, "fetched", 0), ("p1", 3, "pending", 0)],
+        "url string, url_hash long, status string, recrawl_age int",
+    )
+    cf = CuckooFilter(1 << 8)
+    for h in (1, 2, 3):
+        cf.insert(h)
+    urls = frontier.select("url", "url_hash")  # force EVERYTHING
+    updated, cf = force_recrawl(frontier, urls, cf)
+    rows = {r["url"]: r for r in updated.collect()}
+    assert rows["b1"]["status"] == "blocked" and rows["b1"]["recrawl_age"] == 0
+    assert rows["f1"]["status"] == "pending" and rows["f1"]["recrawl_age"] == 1
+    assert rows["p1"]["status"] == "pending" and rows["p1"]["recrawl_age"] == 0

@@ -103,9 +103,9 @@ def test_streaming_crawl_with_cuckoo_and_robots(spark, tmp_path):
     assert all(fr[(blocked_fid, p)] == "blocked" for p in ("2023-01-01", "2023-02-01"))
     # cuckoo sidecar survived the streamed commits
     from fide_crawler_spark.operators import scheduler as S
-    from fide_crawler_spark.operators.urlseen import CuckooFilter
+    from fide_crawler_spark.operators.urlseen import PartitionedCuckoo
 
-    ck = CuckooFilter.from_bytes(job.frontier_tbl.state(S.CUCKOO_STATE))
+    ck = PartitionedCuckoo.from_bytes(job.frontier_tbl.state(S.CUCKOO_STATE))
     fetched_hashes = [
         int(r["url_hash"]) for r in job.frontier_tbl.read(spark)
         .filter(F.col("status") == "fetched").select("url_hash").collect()
