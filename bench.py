@@ -21,6 +21,7 @@ Env:
                        realistic calc-page payload; weight 1 is the
                        tiny test fixture)
   BENCH_SKIP_CRAWL     set to skip the crawl scaling runs (query-only)
+  BENCH_SKIP_DEEP      set to skip the deep tier (heavy dedup family)
 
 Prints ONE JSON line:
   {"metric": ..., "value": <total query sec>, "unit": "sec",
@@ -45,8 +46,7 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 CRAWL_SEEDS = int(os.environ.get("BENCH_CRAWL_SEEDS", "1200"))
 PAGE_WEIGHT = int(os.environ.get("BENCH_PAGE_WEIGHT", "32"))
 
-# fast, representative subset of the catalog (heavy pairwise ops like
-# q24 are correctness-tier, not headline-tier, at sf0.1)
+# fast, representative subset of the catalog
 HEADLINE = [
     "flagship_last3_days",
     "q1_pricing_summary",
@@ -62,18 +62,23 @@ HEADLINE = [
     "q25_cosine_topk",
     "q28_tumbling_window",
     "q29_minhash_lsh_candidates",
+    "q45_player_profiles",
+]
+
+# deep tier: the heavy dedup family at sf0.1 — slower, but regressions
+# here (the joins most sensitive to a bad plan) must be visible
+# round-over-round
+DEEP = [
+    "q24_ngram_jaccard_top20",   # inverted-index self-join (heaviest join)
+    "q34_minhash_dedup_survivors",  # full candidates→verify→anti-join
 ]
 
 
-def bench_queries() -> dict[str, float]:
+def _run_suite(spark, names: list[str]) -> dict[str, float]:
     from fide_crawler_spark.queries import QUERIES
 
-    spark = get_spark("bench_queries", cores=CPUS)
-    # warm the session (JVM JIT, python workers, file index) so the
-    # first query's timing measures the query, not cluster startup
-    spark.range(1_000_000).selectExpr("sum(id)").collect()
     out: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in names:
         t0 = time.time()
         df = QUERIES[name](spark, SF_DIR)
         # noop sink: full materialization of every output column —
@@ -81,8 +86,18 @@ def bench_queries() -> dict[str, float]:
         # benchmarked (aggregates, regex, window columns)
         df.write.format("noop").mode("overwrite").save()
         out[name] = round(time.time() - t0, 3)
-    stop_spark()
     return out
+
+
+def bench_queries() -> tuple[dict[str, float], dict[str, float]]:
+    spark = get_spark("bench_queries", cores=CPUS)
+    # warm the session (JVM JIT, python workers, file index) so the
+    # first query's timing measures the query, not cluster startup
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    headline = _run_suite(spark, HEADLINE)
+    deep = {} if os.environ.get("BENCH_SKIP_DEEP") else _run_suite(spark, DEEP)
+    stop_spark()
+    return headline, deep
 
 
 def crawl_run(cores: int, pin: bool = True) -> dict:
@@ -108,7 +123,7 @@ def crawl_run(cores: int, pin: bool = True) -> dict:
 
 
 def main() -> None:
-    queries = bench_queries()
+    queries, deep = bench_queries()
     result = {
         "metric": (
             "frontier-dequeue→fetch→span-emit throughput + headline query suite"
@@ -118,6 +133,8 @@ def main() -> None:
         "queries": queries,
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
     }
+    if deep:
+        result["deep"] = {**deep, "total": round(sum(deep.values()), 3)}
     if not os.environ.get("BENCH_SKIP_CRAWL"):
         r2 = crawl_run(2)
         r8 = crawl_run(8)

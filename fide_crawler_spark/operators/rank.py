@@ -171,7 +171,27 @@ def dequeue_rank(
 
     Output = politeness_cap_scalable(...) + grouped_rank(...) exactly
     (asserted in tests/test_rank.py), at half the shuffle cost.
+
+    Driver fan-in is bounded: because the sort leads with the priority
+    tuple (not host), a host's rows scatter across partitions, so the
+    raw (partition, host) count table is O(partitions × hosts) — too
+    big to collect at 10^6-host scale.  Instead the per-host prefix
+    sums run as a distributed window over the (tiny) stats rows, and
+    the driver/broadcast receives only:
+
+    * per-partition survivor counts (≤ partitions rows);
+    * host offsets where capping can actually bite (0 < offset <
+      budget — at most ``budget`` entries per over-budget host, and
+      only for hosts that exceed their budget at all);
+    * one ``dead_from`` partition id per over-budget host (all later
+      rows of that host are dropped).
+
+    A host that never exceeds its budget contributes nothing: a missing
+    offset reads as 0 in pass 2, and the ``pos < budget`` check alone
+    is then exact.
     """
+    from pyspark.sql import Window
+
     spark = df.sparkSession
     p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     sorted_df = (
@@ -193,21 +213,40 @@ def dequeue_rank(
                 columns=["pid", "gkey", "n"],
             )
 
-    stats = (
+    budget = budget_per_host
+    w_host = (
+        Window.partitionBy("gkey").orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pref = (
         sorted_df.select(_PID, _GKEY)
         .mapInPandas(count_partition, schema="pid int, gkey string, n long")
-        .collect()
+        .withColumn("off", F.coalesce(F.sum("n").over(w_host), F.lit(0)))
+        .withColumn(
+            "survive",
+            F.least(F.col("n"), F.greatest(F.lit(0), F.lit(budget) - F.col("off"))),
+        )
+        .persist()
     )
-    host_running: dict[str, int] = {}
-    host_off: dict[tuple[int, str], int] = {}
-    survivors_per_pid: dict[int, int] = {}
-    for r in sorted(stats, key=lambda r: r["pid"]):
-        pid, gk, n = r["pid"], r["gkey"], int(r["n"])
-        off = host_running.get(gk, 0)
-        host_off[(pid, gk)] = off
-        host_running[gk] = off + n
-        survive = min(n, max(0, budget_per_host - off))
-        survivors_per_pid[pid] = survivors_per_pid.get(pid, 0) + survive
+    try:
+        survivors_per_pid = {
+            int(r["pid"]): int(r["s"])
+            for r in pref.groupBy("pid").agg(F.sum("survive").alias("s")).collect()
+        }
+        host_off = {
+            (int(r["pid"]), r["gkey"]): int(r["off"])
+            for r in pref.filter(
+                (F.col("off") > 0) & (F.col("off") < budget)
+            ).select("pid", "gkey", "off").collect()
+        }
+        dead_from = {
+            r["gkey"]: int(r["pid"])
+            for r in pref.filter(F.col("off") >= budget)
+            .groupBy("gkey").agg(F.min("pid").alias("pid")).collect()
+        }
+    finally:
+        pref.unpersist()
+
     global_off: dict[int, int] = {}
     acc = 0
     for pid in sorted(survivors_per_pid):
@@ -215,13 +254,13 @@ def dequeue_rank(
         acc += survivors_per_pid[pid]
     if stats_out is not None:
         stats_out["n_survivors"] = acc
-    bc = spark.sparkContext.broadcast((host_off, global_off, budget_per_host))
+    bc = spark.sparkContext.broadcast((host_off, dead_from, global_off, budget))
 
     out_schema = sorted_df.drop(_PID, _GKEY).schema.add(rank_col, "long")
     ddl = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in out_schema)
 
     def attach(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        h_off, g_off, budget = bc.value
+        h_off, h_dead, g_off, bgt = bc.value
         local_host: dict[str, int] = {}
         survivors_seen = 0
         for pdf in batches:
@@ -232,7 +271,10 @@ def dequeue_rank(
             for i, gk in enumerate(pdf[_GKEY]):
                 pos = local_host.get(gk, 0)
                 local_host[gk] = pos + 1
-                if h_off[(pid, gk)] + pos < budget:
+                off = h_off.get((pid, gk))
+                if off is None:
+                    off = bgt if h_dead.get(gk, pid + 1) <= pid else 0
+                if off + pos < bgt:
                     keep_idx.append(i)
                     survivors_seen += 1
                     ranks.append(g_off[pid] + survivors_seen)

@@ -133,7 +133,9 @@ class CrawlJob:
                 "blocked": n_blocked,
             }, None
 
-        self.frontier_tbl.commit(frontier, state=state, finalize=finalize)
+        self.frontier_tbl.commit_partition_overwrite(
+            frontier, "period", state=state, finalize=finalize
+        )
 
     def _robots_mode(self) -> str:
         return "http" if self.fetch_mode == "http" else "synthetic"
@@ -252,8 +254,18 @@ class CrawlJob:
             .withColumn("_new_status", F.lit("failed"))
         )
         outcome = fetched_keys.unionByName(failed_keys)
+        # touched-partition rewrite (Iceberg dynamic overwrite): only
+        # the period partitions the dequeue actually touched are
+        # rewritten — at a 10^10-row frontier the untouched months'
+        # files carry forward by manifest reference, not by re-write.
+        # The touched-value collect is metadata-scale (≤ distinct
+        # periods in one politeness-bounded batch).
+        touched = [
+            r["period"] for r in batch.select("period").distinct().collect()
+        ]
         new_frontier = (
-            frontier.join(outcome, "url", "left")
+            frontier.filter(F.col("period").isin(touched))
+            .join(outcome, "url", "left")
             .withColumn(
                 "retry_count",
                 F.when(F.col("_new_status") == "failed", F.col("retry_count") + 1)
@@ -291,19 +303,24 @@ class CrawlJob:
             # fetched rows of the updated frontier.  The driver handles
             # filter blobs only — no collect() of row-scale data.
             ck = PartitionedCuckoo.from_bytes(self.frontier_tbl.state(CUCKOO_STATE))
-            ck = update_cuckoo(
-                spark,
-                fetched_keys.select(F.xxhash64("url").alias("url_hash")),
-                new_frontier.filter(F.col("status") == "fetched").select("url_hash"),
-                ck,
+            epoch_hashes = fetched_keys.select(F.xxhash64("url").alias("url_hash"))
+            # rebuild source of truth = previously fetched (parent
+            # snapshot) ∪ this epoch's fetches — disjoint sets, since an
+            # epoch only dequeues pending rows
+            all_fetched = (
+                frontier.filter(F.col("status") == "fetched")
+                .select("url_hash")
+                .unionByName(epoch_hashes)
             )
+            ck = update_cuckoo(spark, epoch_hashes, all_fetched, ck)
             state[CUCKOO_STATE] = ck.to_bytes()
 
         # pending after this epoch = previous pending − fetched (failed
         # rows stay pending); derived from metrics to save a recompute
         n_pending = self.pending_count() - n_fetched
-        self.frontier_tbl.commit(
+        self.frontier_tbl.commit_partition_overwrite(
             new_frontier,
+            "period",
             metrics={
                 "epoch": e,
                 "dequeued": n_batch,
@@ -379,10 +396,18 @@ class CrawlJob:
 
         frontier = self.frontier_tbl.read(self.spark)
         ck = PartitionedCuckoo.from_bytes(self.frontier_tbl.state(CUCKOO_STATE))
-        updated, ck = _fr(frontier, urls, ck)
+        # touched-partition rewrite: only periods containing a forced
+        # URL are re-committed (metadata-scale collect)
+        touched = [
+            r["period"]
+            for r in frontier.join(urls.select("url").distinct(), "url", "left_semi")
+            .select("period").distinct().collect()
+        ]
+        sub = frontier.filter(F.col("period").isin(touched))
+        updated, ck = _fr(sub, urls, ck)
         m = self.frontier_tbl.manifest()["metrics"]
         # only rows that actually flip fetched→pending change the count
-        # (forcing an already-pending or unknown URL is a no-op)
+        # (forcing an already-pending, blocked, or unknown URL is a no-op)
         n_forced = (
             frontier.filter(F.col("status") == "fetched")
             .join(urls.select("url").distinct(), "url", "left_semi")
@@ -390,8 +415,9 @@ class CrawlJob:
         )
         state = self.frontier_tbl.carry_state()
         state[CUCKOO_STATE] = ck.to_bytes()
-        return self.frontier_tbl.commit(
+        return self.frontier_tbl.commit_partition_overwrite(
             updated,
+            "period",
             metrics={**m, "pending": int(m["pending"]) + n_forced,
                      "forced": n_forced},
             state=state,

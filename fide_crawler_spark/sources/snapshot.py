@@ -88,6 +88,30 @@ class SnapshotTable:
         }
 
     # -- commit ----------------------------------------------------------------
+    def _stage_dirs(self, snap: int) -> tuple[str, str]:
+        sdir = self._dir(snap)
+        stage = sdir + ".staging"
+        if os.path.exists(stage):
+            shutil.rmtree(stage)
+        os.makedirs(os.path.join(stage, "state"), exist_ok=True)
+        return sdir, stage
+
+    def _publish(self, sdir: str, stage: str, manifest: dict,
+                 state: dict[str, bytes] | None) -> None:
+        """Write state sidecars + manifest, then the atomic renames —
+        manifest rename is the commit point (Iceberg metadata-pointer
+        protocol)."""
+        for name, blob in (state or {}).items():
+            with open(os.path.join(stage, "state", name), "wb") as f:
+                f.write(blob)
+        if os.path.exists(sdir):
+            shutil.rmtree(sdir)
+        os.rename(stage, sdir)
+        fd, tmp = tempfile.mkstemp(dir=sdir, suffix=".manifest.tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump(manifest, f, indent=1)
+        os.rename(tmp, os.path.join(sdir, "manifest.json"))
+
     def commit(
         self,
         df: DataFrame | None,
@@ -113,14 +137,11 @@ class SnapshotTable:
         """
         prev = self.latest()
         snap = 0 if prev is None else prev + 1
-        sdir = self._dir(snap)
-        stage = sdir + ".staging"
-        if os.path.exists(stage):
-            shutil.rmtree(stage)
-        os.makedirs(os.path.join(stage, "state"), exist_ok=True)
+        sdir, stage = self._stage_dirs(snap)
 
         rel = f"snap-{snap:05d}/data"
         data_paths: list[str] = []
+        carried = False
         if mode == "append" and prev is not None:
             data_paths.extend(self.manifest(prev)["data_paths"])
         if df is not None:
@@ -132,10 +153,8 @@ class SnapshotTable:
                 lineage = fin_lineage if fin_lineage is not None else lineage
         elif mode != "append" and prev is not None:
             data_paths.extend(self.manifest(prev)["data_paths"])
+            carried = True
 
-        for name, blob in (state or {}).items():
-            with open(os.path.join(stage, "state", name), "wb") as f:
-                f.write(blob)
         manifest = {
             "snapshot": snap,
             "parent": prev,
@@ -145,13 +164,90 @@ class SnapshotTable:
             "lineage": lineage or [],
             "state_files": sorted((state or {}).keys()),
         }
-        if os.path.exists(sdir):
-            shutil.rmtree(sdir)
-        os.rename(stage, sdir)
-        fd, tmp = tempfile.mkstemp(dir=sdir, suffix=".manifest.tmp")
-        with os.fdopen(fd, "w") as f:
-            json.dump(manifest, f, indent=1)
-        os.rename(tmp, os.path.join(sdir, "manifest.json"))
+        if carried:
+            # metadata-only snapshot: the partition map (if any) still
+            # describes the carried data files exactly
+            parent_m = self.manifest(prev)
+            for k in ("partition_col", "partitions"):
+                if k in parent_m:
+                    manifest[k] = parent_m[k]
+        self._publish(sdir, stage, manifest, state)
+        return snap
+
+    def commit_partition_overwrite(
+        self,
+        updates: DataFrame,
+        partition_col: str,
+        metrics: dict | None = None,
+        state: dict[str, bytes] | None = None,
+        lineage: list[dict] | None = None,
+        finalize=None,
+    ) -> int:
+        """Dynamic-partition overwrite (Iceberg ``overwrite`` with
+        ``replaceWhere`` on touched partitions): replace ONLY the
+        partitions present in ``updates``; every other partition's data
+        files carry forward from the parent snapshot untouched.
+
+        This is the frontier's epoch-commit path: at 10^10 rows a full
+        rewrite per epoch is a full-table write, while the rows an epoch
+        actually transitions live in the few ``period`` partitions that
+        were dequeued.  The partition key is duplicated into a ``_pt``
+        directory column on write, so the data files keep the original
+        column and reads stay plain ``spark.read.parquet(paths)`` with
+        no partition-inference or schema games.
+        """
+        from pyspark.sql import functions as F
+
+        prev = self.latest()
+        snap = 0 if prev is None else prev + 1
+        sdir, stage = self._stage_dirs(snap)
+        rel = f"snap-{snap:05d}/data"
+        data_dir = os.path.join(stage, "data")
+
+        (
+            updates.withColumn("_pt", F.col(partition_col).cast("string"))
+            .write.partitionBy("_pt").mode("overwrite").parquet(data_dir)
+        )
+        touched = {
+            d[len("_pt="):]: f"{rel}/{d}"
+            for d in os.listdir(data_dir)
+            if d.startswith("_pt=")
+        }
+        parent_parts: dict[str, str] = {}
+        if prev is not None:
+            parent_m = self.manifest(prev)
+            assert parent_m.get("partition_col") in (None, partition_col), (
+                "partition column changed mid-table"
+            )
+            if "partitions" not in parent_m and parent_m["data_paths"]:
+                # a plain-overwrite parent has no partition map: carrying
+                # only the touched partitions forward would silently drop
+                # every other row — refuse instead of corrupting
+                raise ValueError(
+                    "commit_partition_overwrite on an unpartitioned parent "
+                    "snapshot; rewrite the table once with a partitioned "
+                    "full commit first"
+                )
+            parent_parts = dict(parent_m.get("partitions", {}))
+        partitions = {**parent_parts, **touched}
+
+        if finalize is not None:
+            extra, fin_lineage = finalize(data_dir)
+            metrics = {**(metrics or {}), **extra}
+            lineage = fin_lineage if fin_lineage is not None else lineage
+
+        manifest = {
+            "snapshot": snap,
+            "parent": prev,
+            "mode": "partition_overwrite",
+            "partition_col": partition_col,
+            "partitions": partitions,
+            "data_paths": sorted(partitions.values()),
+            "metrics": metrics or {},
+            "lineage": lineage or [],
+            "state_files": sorted((state or {}).keys()),
+        }
+        self._publish(sdir, stage, manifest, state)
         return snap
 
 

@@ -98,8 +98,13 @@ def admit_seeds(job: CrawlJob, seeds: DataFrame) -> int:
         # committed, not dropped
         n_total_add = sum(counts.values()) - n_blocked
         m = job.frontier_tbl.manifest()["metrics"]
-        job.frontier_tbl.commit(
-            frontier.unionByName(fresh),
+        # touched-partition admission: rewrite only the period
+        # partitions receiving new rows (existing rows of those periods
+        # union the fresh ones); every other partition carries forward
+        touched = [r["period"] for r in fresh.select("period").distinct().collect()]
+        job.frontier_tbl.commit_partition_overwrite(
+            frontier.filter(F.col("period").isin(touched)).unionByName(fresh),
+            "period",
             metrics={
                 **m,
                 "pending": int(m["pending"]) + n_new,

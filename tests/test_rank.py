@@ -92,3 +92,39 @@ def test_dequeue_rank_equals_two_pass(spark):
         for r in capped.withColumn("rank", F.row_number().over(w_all)).collect()
     }
     assert fused == expect
+
+
+def test_dequeue_rank_many_hosts_mixed_budgets(spark):
+    """Bounded-broadcast edges: many hosts where (a) most never exceed
+    the budget (no offset entry, pos<budget alone must be exact),
+    (b) some are over budget (dead_from cutoff), (c) hosts absent from
+    middle partitions — all must still equal the window form."""
+    from fide_crawler_spark.operators.rank import dequeue_rank
+
+    rows = []
+    # 60 light hosts (3 rows each, under budget=5), 6 heavy (40 rows)
+    for h in range(60):
+        for i in range(3):
+            rows.append((f"light{h}", (h * 7 + i * 13) % 50, f"l{h}-{i}"))
+    for h in range(6):
+        for i in range(40):
+            rows.append((f"heavy{h}", (h + i * 11) % 50, f"h{h}-{i}"))
+    df = spark.createDataFrame(rows, "host string, pri int, url string")
+    order = [F.col("pri").asc(), F.col("url").asc()]
+    fused = {
+        r["url"]: r["rank"]
+        for r in dequeue_rank(
+            df, "host", order, budget_per_host=5, num_partitions=13
+        ).collect()
+    }
+    w_host = Window.partitionBy("host").orderBy("pri", "url")
+    capped = (
+        df.withColumn("hr", F.row_number().over(w_host))
+        .filter(F.col("hr") <= 5).drop("hr")
+    )
+    w_all = Window.orderBy("pri", "url")
+    expect = {
+        r["url"]: r["rank"]
+        for r in capped.withColumn("rank", F.row_number().over(w_all)).collect()
+    }
+    assert fused == expect

@@ -93,3 +93,71 @@ def test_lev_ratio_exact_matches_definition(spark):
     assert abs(got[("abcd", "abxd")] - 6 / 8) < 1e-9        # sub-only case
     assert got[("", "")] == 1.0
     assert got[("a", "b")] == 0.0
+
+
+def test_partition_overwrite_rewrites_only_touched(spark, tmp_path):
+    """Dynamic-partition commits: snapshot N+1 writes data files only
+    for partitions present in the update; others carry forward by
+    manifest reference to the parent's files."""
+    import os
+
+    from fide_crawler_spark.sources.snapshot import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "pt"))
+    full = spark.createDataFrame(
+        [(p, u, "pending") for p in ("a", "b", "c") for u in range(4)],
+        "period string, u long, status string",
+    )
+    t.commit_partition_overwrite(full, "period")
+    upd = spark.createDataFrame(
+        [("b", u, "fetched") for u in range(4)], "period string, u long, status string"
+    )
+    t.commit_partition_overwrite(upd, "period")
+
+    snap1 = os.path.join(t.root, "snap-00001", "data")
+    assert sorted(d for d in os.listdir(snap1) if d.startswith("_pt=")) == ["_pt=b"]
+    parts = t.manifest()["partitions"]
+    assert parts["b"].startswith("snap-00001/")
+    assert parts["a"].startswith("snap-00000/") and parts["c"].startswith("snap-00000/")
+
+    cur = t.read(spark)
+    assert cur.count() == 12
+    got = {r["period"]: r["status"] for r in cur.select("period", "status").distinct().collect()}
+    assert got == {"a": "pending", "b": "fetched", "c": "pending"}
+
+
+def test_partition_overwrite_refuses_unpartitioned_parent(spark, tmp_path):
+    import pytest
+
+    from fide_crawler_spark.sources.snapshot import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "plain"))
+    df = spark.createDataFrame([("a", 1)], "period string, u long")
+    t.commit(df)
+    with pytest.raises(ValueError, match="unpartitioned parent"):
+        t.commit_partition_overwrite(df, "period")
+
+
+def test_epoch_commit_touches_only_dequeued_periods(spark, tmp_path):
+    """The scheduler's frontier commit is a touched-partition rewrite:
+    an epoch that dequeues two months writes files for exactly those
+    two period partitions."""
+    import os
+
+    from fide_crawler_spark.fixtures import seed_frontier_rows
+    from fide_crawler_spark.operators.scheduler import CrawlJob
+
+    rows = seed_frontier_rows(["4040404"], "2023-01-01", 6)
+    j = CrawlJob(spark, str(tmp_path / "touch"), budget_per_host=2, n_salts=2)
+    j.init(spark.createDataFrame(rows))
+    j.run_epoch()
+
+    snap1 = os.path.join(j.frontier_tbl.root, "snap-00001", "data")
+    written = sorted(d for d in os.listdir(snap1) if d.startswith("_pt="))
+    assert written == ["_pt=2023-01-01", "_pt=2023-02-01"], written
+    parts = j.frontier_tbl.manifest()["partitions"]
+    assert parts["2023-03-01"].startswith("snap-00000/")
+    # table view stays complete and consistent
+    fr = j.frontier_tbl.read(spark)
+    assert fr.count() == 6
+    assert fr.filter("status = 'fetched'").count() == 2
