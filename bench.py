@@ -90,10 +90,22 @@ def _run_suite(spark, names: list[str]) -> dict[str, float]:
 
 
 def bench_queries() -> tuple[dict[str, float], dict[str, float]]:
+    from fide_crawler_spark.queries import TABLES
+
     spark = get_spark("bench_queries", cores=CPUS)
-    # warm the session (JVM JIT, python workers, file index) so the
-    # first query's timing measures the query, not cluster startup
+    # Warm cluster-lifetime state so the FIRST query's number measures
+    # the query, not session bootstrap: JVM JIT paths, the parquet file
+    # index + footer metadata of every table (a long-lived cluster has
+    # these cached), and the Arrow python-worker pool (several queries
+    # are mapInPandas stages; worker spawn is a per-session cost).
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    for t in TABLES:
+        spark.read.parquet(f"{SF_DIR}/{t}.parquet").schema
+    import pandas as pd  # noqa: F401
+
+    spark.range(32).repartition(CPUS).mapInPandas(
+        lambda it: it, schema="id long"
+    ).write.format("noop").mode("overwrite").save()
     headline = _run_suite(spark, HEADLINE)
     deep = {} if os.environ.get("BENCH_SKIP_DEEP") else _run_suite(spark, DEEP)
     stop_spark()

@@ -321,6 +321,7 @@ class CrawlJob:
         self.frontier_tbl.commit_partition_overwrite(
             new_frontier,
             "period",
+            touched_values=touched,
             metrics={
                 "epoch": e,
                 "dequeued": n_batch,
@@ -371,6 +372,12 @@ class CrawlJob:
             .drop("_rn")
         )
 
+    def read_new_documents(self, since_snap: int) -> DataFrame:
+        """Incremental-consumer surface (Iceberg incremental scan): only
+        the docs committed after ``since_snap`` — what a downstream
+        dedup/indexing job reads per epoch instead of the full table."""
+        return self.docs_tbl.read_changes(self.spark, since_snap)
+
     def crawl_order(self) -> list[str]:
         """Realized crawl order: (epoch, crawl_rank) ascending."""
         return [
@@ -418,6 +425,7 @@ class CrawlJob:
         return self.frontier_tbl.commit_partition_overwrite(
             updated,
             "period",
+            touched_values=touched,
             metrics={**m, "pending": int(m["pending"]) + n_forced,
                      "forced": n_forced},
             state=state,

@@ -65,9 +65,89 @@ class SnapshotTable:
             return json.load(f)
 
     def read(self, spark: SparkSession, snap: int | None = None) -> DataFrame:
-        """Time-travel read: the table as of ``snap`` (default latest)."""
-        paths = [os.path.join(self.root, p) for p in self.manifest(snap)["data_paths"]]
-        return spark.read.parquet(*paths)
+        """Time-travel read: the table as of ``snap`` (default latest).
+
+        Partitioned tables (see :meth:`commit_partition_overwrite`)
+        read as a union of per-file-set scans, each filtered to the
+        partition values still VALID in that file set — a newer commit
+        that rewrote partition P masks P's stale rows in older file
+        sets, exactly like Iceberg manifest-level overwrite semantics.
+        """
+        from pyspark.sql import functions as F
+
+        m = self.manifest(snap)
+        pcol = m.get("partition_col")
+        if not pcol:
+            paths = [os.path.join(self.root, p) for p in m["data_paths"]]
+            return spark.read.parquet(*paths)
+        if not m["partitions"]:
+            # a table whose only commit(s) were empty: plain read of the
+            # (schema-carrying, zero-row) file sets
+            paths = [os.path.join(self.root, p) for p in m["data_paths"]]
+            return spark.read.parquet(*paths)
+        by_dir: dict[str, list[str]] = {}
+        for value, rel in m["partitions"].items():
+            by_dir.setdefault(rel, []).append(value)
+        scans = []
+        for rel, values in sorted(by_dir.items()):
+            scan = spark.read.parquet(os.path.join(self.root, rel))
+            scans.append(scan.filter(F.col(pcol).cast("string").isin(values)))
+        out = scans[0]
+        for s in scans[1:]:
+            out = out.unionByName(s)
+        return out
+
+    def read_changes(
+        self, spark: SparkSession, from_snap: int, to_snap: int | None = None
+    ) -> DataFrame:
+        """Incremental scan (Iceberg ``incremental read`` / CDC-append):
+        only the rows added by commits AFTER ``from_snap`` up to
+        ``to_snap`` (default latest).  Because append/partition-overwrite
+        commits write new files and reference old ones, the delta is
+        exactly the data paths present in ``to_snap`` but not in
+        ``from_snap`` — a manifest diff, no data scan or row comparison.
+        This is what an incremental consumer (e.g. a downstream dedup or
+        indexing job) reads per epoch instead of the full 100 TB table.
+        """
+        to_snap = self.latest() if to_snap is None else to_snap
+        old = set(self.manifest(from_snap)["data_paths"])
+        new = [p for p in self.manifest(to_snap)["data_paths"] if p not in old]
+        if not new:
+            return self.read(spark, to_snap).limit(0)
+        return spark.read.parquet(*[os.path.join(self.root, p) for p in new])
+
+    def compact(
+        self,
+        spark: SparkSession,
+        target_partitions: int | None = None,
+        metrics: dict | None = None,
+    ) -> int:
+        """Small-file compaction (Iceberg ``rewrite_data_files``): rewrite
+        the current data into ``target_partitions`` files as a fresh
+        overwrite snapshot, carrying all sidecar state forward.  An
+        append-per-epoch table accumulates one file set per epoch; scans
+        then pay per-file open cost and tiny row groups.  Time travel to
+        pre-compaction snapshots still works — their manifests reference
+        the old files, which compaction never deletes (expiry is a
+        separate retention concern, as in Iceberg).
+        """
+        m = self.manifest()
+        current = self.read(spark)
+        n_files = len(m["data_paths"])
+        if target_partitions is not None:
+            current = current.repartition(target_partitions)
+        metrics = {**(metrics or {}), "compacted_from_filesets": n_files}
+        if m.get("partition_col"):
+            # keep the table partitioned (a plain overwrite would drop
+            # the partition map and block future partition commits)
+            return self.commit_partition_overwrite(
+                current, m["partition_col"],
+                metrics=metrics, state=self.carry_state(),
+            )
+        return self.commit(
+            current, mode="overwrite",
+            metrics=metrics, state=self.carry_state(),
+        )
 
     def state(self, name: str, snap: int | None = None) -> bytes:
         snap = self.latest() if snap is None else snap
@@ -178,6 +258,7 @@ class SnapshotTable:
         self,
         updates: DataFrame,
         partition_col: str,
+        touched_values: list | None = None,
         metrics: dict | None = None,
         state: dict[str, bytes] | None = None,
         lineage: list[dict] | None = None,
@@ -186,15 +267,30 @@ class SnapshotTable:
         """Dynamic-partition overwrite (Iceberg ``overwrite`` with
         ``replaceWhere`` on touched partitions): replace ONLY the
         partitions present in ``updates``; every other partition's data
-        files carry forward from the parent snapshot untouched.
+        carries forward from the parent snapshot untouched.
+
+        Layout follows Iceberg's manifest model, not a dir-per-partition
+        tree: each commit writes ONE plain file set (same write cost as
+        an unpartitioned commit — no partitionBy fan-out, no extra
+        shuffle, no tasks×partitions small files) and the manifest maps
+        each partition VALUE to the file set that last wrote it.
+        :meth:`read` masks stale rows in older file sets by filtering
+        each scan to its still-valid values, so overwrite semantics hold
+        without rewriting untouched data.  Distinct file sets in a
+        snapshot ≤ min(commits, partition values): every value points to
+        exactly one file set, and file sets referenced by no value drop
+        out of ``data_paths`` (Iceberg snapshot expiry can then collect
+        them).
+
+        ``touched_values``: the distinct partition values in ``updates``
+        if the caller already knows them (the scheduler does — it
+        computed the dequeue's periods); otherwise one tiny distinct
+        job derives them.  The partition column must be non-null.
 
         This is the frontier's epoch-commit path: at 10^10 rows a full
         rewrite per epoch is a full-table write, while the rows an epoch
         actually transitions live in the few ``period`` partitions that
-        were dequeued.  The partition key is duplicated into a ``_pt``
-        directory column on write, so the data files keep the original
-        column and reads stay plain ``spark.read.parquet(paths)`` with
-        no partition-inference or schema games.
+        were dequeued.
         """
         from pyspark.sql import functions as F
 
@@ -204,15 +300,16 @@ class SnapshotTable:
         rel = f"snap-{snap:05d}/data"
         data_dir = os.path.join(stage, "data")
 
-        (
-            updates.withColumn("_pt", F.col(partition_col).cast("string"))
-            .write.partitionBy("_pt").mode("overwrite").parquet(data_dir)
-        )
-        touched = {
-            d[len("_pt="):]: f"{rel}/{d}"
-            for d in os.listdir(data_dir)
-            if d.startswith("_pt=")
-        }
+        updates.write.mode("overwrite").parquet(data_dir)
+        if touched_values is None:
+            touched_values = [
+                r["v"]
+                for r in updates.sparkSession.read.parquet(data_dir)
+                .select(F.col(partition_col).cast("string").alias("v"))
+                .distinct().collect()
+            ]
+        touched = {str(v): rel for v in touched_values}
+
         parent_parts: dict[str, str] = {}
         if prev is not None:
             parent_m = self.manifest(prev)
@@ -230,6 +327,11 @@ class SnapshotTable:
                 )
             parent_parts = dict(parent_m.get("partitions", {}))
         partitions = {**parent_parts, **touched}
+        data_paths = sorted(set(partitions.values()))
+        if not data_paths:
+            # empty first commit (e.g. a zero-seed frontier): keep the
+            # schema-carrying empty file set readable
+            data_paths = [rel]
 
         if finalize is not None:
             extra, fin_lineage = finalize(data_dir)
@@ -242,7 +344,7 @@ class SnapshotTable:
             "mode": "partition_overwrite",
             "partition_col": partition_col,
             "partitions": partitions,
-            "data_paths": sorted(partitions.values()),
+            "data_paths": data_paths,
             "metrics": metrics or {},
             "lineage": lineage or [],
             "state_files": sorted((state or {}).keys()),

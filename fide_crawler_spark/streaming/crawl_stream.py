@@ -105,6 +105,7 @@ def admit_seeds(job: CrawlJob, seeds: DataFrame) -> int:
         job.frontier_tbl.commit_partition_overwrite(
             frontier.filter(F.col("period").isin(touched)).unionByName(fresh),
             "period",
+            touched_values=touched,
             metrics={
                 **m,
                 "pending": int(m["pending"]) + n_new,

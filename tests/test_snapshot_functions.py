@@ -96,11 +96,10 @@ def test_lev_ratio_exact_matches_definition(spark):
 
 
 def test_partition_overwrite_rewrites_only_touched(spark, tmp_path):
-    """Dynamic-partition commits: snapshot N+1 writes data files only
-    for partitions present in the update; others carry forward by
-    manifest reference to the parent's files."""
-    import os
-
+    """Dynamic-partition commits: snapshot N+1 writes ONE new file set
+    containing only the updated partitions; others carry forward by
+    manifest reference to the parent's file set, and the parent's now
+    stale copies of the updated partition are masked on read."""
     from fide_crawler_spark.sources.snapshot import SnapshotTable
 
     t = SnapshotTable(str(tmp_path / "pt"))
@@ -114,16 +113,18 @@ def test_partition_overwrite_rewrites_only_touched(spark, tmp_path):
     )
     t.commit_partition_overwrite(upd, "period")
 
-    snap1 = os.path.join(t.root, "snap-00001", "data")
-    assert sorted(d for d in os.listdir(snap1) if d.startswith("_pt=")) == ["_pt=b"]
     parts = t.manifest()["partitions"]
     assert parts["b"].startswith("snap-00001/")
     assert parts["a"].startswith("snap-00000/") and parts["c"].startswith("snap-00000/")
+    # the new file set holds only the touched partition's rows
+    assert spark.read.parquet(f"{t.root}/snap-00001/data").count() == 4
 
     cur = t.read(spark)
-    assert cur.count() == 12
+    assert cur.count() == 12  # snap-00000's stale 'b' rows are masked
     got = {r["period"]: r["status"] for r in cur.select("period", "status").distinct().collect()}
     assert got == {"a": "pending", "b": "fetched", "c": "pending"}
+    # time travel: the pre-update view still shows everything pending
+    assert t.read(spark, 0).filter("status = 'fetched'").count() == 0
 
 
 def test_partition_overwrite_refuses_unpartitioned_parent(spark, tmp_path):
@@ -140,10 +141,9 @@ def test_partition_overwrite_refuses_unpartitioned_parent(spark, tmp_path):
 
 def test_epoch_commit_touches_only_dequeued_periods(spark, tmp_path):
     """The scheduler's frontier commit is a touched-partition rewrite:
-    an epoch that dequeues two months writes files for exactly those
-    two period partitions."""
-    import os
-
+    an epoch that dequeues two months writes a file set holding exactly
+    those two periods' rows; the other four carry forward by manifest
+    reference."""
     from fide_crawler_spark.fixtures import seed_frontier_rows
     from fide_crawler_spark.operators.scheduler import CrawlJob
 
@@ -152,12 +152,85 @@ def test_epoch_commit_touches_only_dequeued_periods(spark, tmp_path):
     j.init(spark.createDataFrame(rows))
     j.run_epoch()
 
-    snap1 = os.path.join(j.frontier_tbl.root, "snap-00001", "data")
-    written = sorted(d for d in os.listdir(snap1) if d.startswith("_pt="))
-    assert written == ["_pt=2023-01-01", "_pt=2023-02-01"], written
     parts = j.frontier_tbl.manifest()["partitions"]
+    assert parts["2023-01-01"].startswith("snap-00001/")
+    assert parts["2023-02-01"].startswith("snap-00001/")
     assert parts["2023-03-01"].startswith("snap-00000/")
+    new_rows = spark.read.parquet(f"{j.frontier_tbl.root}/snap-00001/data")
+    assert sorted(r["period"] for r in new_rows.select("period").collect()) == [
+        "2023-01-01", "2023-02-01"
+    ]
     # table view stays complete and consistent
     fr = j.frontier_tbl.read(spark)
     assert fr.count() == 6
     assert fr.filter("status = 'fetched'").count() == 2
+
+
+def test_read_changes_incremental_scan(spark, tmp_path):
+    """Manifest-diff incremental read: exactly the rows of commits after
+    from_snap, no data scan of the old files."""
+    from fide_crawler_spark.sources.snapshot import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "inc"))
+    s0 = t.commit(spark.range(0, 5).withColumnRenamed("id", "v"), mode="append")
+    s1 = t.commit(spark.range(5, 8).withColumnRenamed("id", "v"), mode="append")
+    s2 = t.commit(spark.range(8, 10).withColumnRenamed("id", "v"), mode="append")
+
+    delta = t.read_changes(spark, s0)
+    assert sorted(r["v"] for r in delta.collect()) == [5, 6, 7, 8, 9]
+    delta01 = t.read_changes(spark, s0, s1)
+    assert sorted(r["v"] for r in delta01.collect()) == [5, 6, 7]
+    assert t.read_changes(spark, s2).count() == 0
+
+
+def test_compact_appends_and_time_travel(spark, tmp_path):
+    """Compaction rewrites N file-sets into one snapshot; pre-compaction
+    snapshots still read (their files are never deleted)."""
+    from fide_crawler_spark.sources.snapshot import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "cmp"))
+    for lo in range(0, 12, 4):
+        t.commit(spark.range(lo, lo + 4).withColumnRenamed("id", "v"), mode="append")
+    pre = t.latest()
+    snap = t.compact(spark, target_partitions=2)
+    m = t.manifest(snap)
+    assert m["metrics"]["compacted_from_filesets"] == 3
+    assert len(m["data_paths"]) == 1
+    assert sorted(r["v"] for r in t.read(spark).collect()) == list(range(12))
+    # time travel to pre-compaction snapshot unaffected
+    assert t.read(spark, pre).count() == 12
+
+
+def test_compact_preserves_partition_map(spark, tmp_path):
+    from fide_crawler_spark.sources.snapshot import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "cmp_pt"))
+    df = spark.createDataFrame(
+        [(p, u) for p in ("a", "b") for u in range(3)], "period string, u long"
+    )
+    t.commit_partition_overwrite(df, "period")
+    t.compact(spark)
+    assert set(t.manifest()["partitions"]) == {"a", "b"}
+    # partition commits still work post-compaction
+    upd = spark.createDataFrame([("a", 99)], "period string, u long")
+    t.commit_partition_overwrite(upd, "period")
+    cur = t.read(spark)
+    assert cur.filter("period = 'a'").count() == 1
+    assert cur.filter("period = 'b'").count() == 3
+
+
+def test_incremental_docs_after_epoch(spark, tmp_path):
+    """CrawlJob.read_new_documents returns exactly the docs of epochs
+    after the given docs-table snapshot."""
+    from fide_crawler_spark.fixtures import seed_frontier_rows
+    from fide_crawler_spark.operators.scheduler import CrawlJob
+
+    rows = seed_frontier_rows(["5150515"], "2023-01-01", 4)
+    j = CrawlJob(spark, str(tmp_path / "incdocs"), budget_per_host=2, n_salts=2)
+    j.init(spark.createDataFrame(rows))
+    j.run_epoch()
+    snap1 = j.docs_tbl.latest()
+    first = {r["doc_id"] for r in j.docs_tbl.read(spark).select("doc_id").collect()}
+    j.run_epoch()
+    delta = {r["doc_id"] for r in j.read_new_documents(snap1).select("doc_id").collect()}
+    assert len(delta) == 2 and not (delta & first)
