@@ -19,17 +19,12 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-_ROOT = os.path.dirname(os.path.abspath(__file__))
-sys.path.insert(0, _ROOT)
-# Python workers import cloudpickled functions by module name; make the
-# package importable in workers even when the driver runs from another
-# cwd (must happen before the JVM launches — workers inherit its env).
-if _ROOT not in os.environ.get("PYTHONPATH", "").split(os.pathsep):
-    os.environ["PYTHONPATH"] = (
-        _ROOT + os.pathsep + os.environ["PYTHONPATH"]
-        if os.environ.get("PYTHONPATH")
-        else _ROOT
-    )
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# importing the session module exports PYTHONPATH for Python workers
+# (cloudpickled functions resolve by module name; the driver harness may
+# run from any cwd) — must happen before any JVM launches
+import fide_crawler_spark.session  # noqa: E402,F401
 
 from fide_crawler_spark.queries import ORACLE, QUERIES  # noqa: E402
 

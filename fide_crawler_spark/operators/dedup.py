@@ -107,10 +107,12 @@ def ngram_jaccard_pairs(
         .select(
             "doc_a",
             "doc_b",
-            F.round(
-                F.col("inter").cast("double")
-                / (F.col("na") + F.col("nb") - F.col("inter")),
-                4,
+            (
+                F.floor(
+                    F.col("inter").cast("double")
+                    / (F.col("na") + F.col("nb") - F.col("inter"))
+                    * 10000 + F.lit(0.5)
+                ) / 10000
             ).alias("jaccard"),
         )
     )

@@ -55,17 +55,26 @@ def fetch_profile_stage(urls: DataFrame, mode: str = "synthetic") -> DataFrame:
         for pdf in batches:
             if not len(pdf):
                 continue
-            recs = []
-            for url in pdf["url"]:
-                fid = url.rsplit("/", 1)[-1]
-                if mode == "synthetic":
-                    page = render_profile_page(fid)
-                else:
-                    from fide_crawler_spark.sources.fetcher import _http_fetch_batch
+            if mode == "synthetic":
+                pages = [render_profile_page(u.rsplit("/", 1)[-1]) for u in pdf["url"]]
+                statuses = ["fetched"] * len(pages)
+            else:
+                from fide_crawler_spark.sources.fetcher import _http_fetch_batch
 
-                    page = _http_fetch_batch(pd.Series([url]))["page"][0]
-                recs.append(parse_profile_page(fid, page))
-            yield pd.DataFrame(recs, columns=PROFILE_FIELDS)
+                fetched = _http_fetch_batch(pdf["url"])
+                pages, statuses = list(fetched["page"]), list(fetched["status"])
+            recs = []
+            for url, page, st in zip(pdf["url"], pages, statuses):
+                if st != "fetched":
+                    # a failed fetch must NOT become a ghost all-empty
+                    # record — upserting one would destroy a good row
+                    # for the same fide_id (swallow-and-skip, the
+                    # reference's error handling at
+                    # data_fetching_processing.py:195-196)
+                    continue
+                recs.append(parse_profile_page(url.rsplit("/", 1)[-1], page))
+            if recs:
+                yield pd.DataFrame(recs, columns=PROFILE_FIELDS)
 
     return urls.select("url").mapInPandas(run, schema=PROFILE_SCHEMA)
 
@@ -127,7 +136,10 @@ def search_players_stage(queries: DataFrame, mode: str = "synthetic") -> DataFra
                     from fide_crawler_spark.fixtures import search_url
                     from fide_crawler_spark.sources.fetcher import _http_fetch_batch
 
-                    page = _http_fetch_batch(pd.Series([search_url(q)]))["page"][0]
+                    fetched = _http_fetch_batch(pd.Series([search_url(q)]))
+                    if fetched["status"][0] != "fetched":
+                        continue  # failed search → no seeds, not garbage
+                    page = fetched["page"][0]
                 for i, rec in enumerate(parse_search_page(page)):
                     names.append(rec["name"])
                     titles.append(rec["title"])

@@ -218,10 +218,12 @@ def dequeue_rank(
         Window.partitionBy("gkey").orderBy("pid")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    w_host_all = Window.partitionBy("gkey")
     pref = (
         sorted_df.select(_PID, _GKEY)
         .mapInPandas(count_partition, schema="pid int, gkey string, n long")
         .withColumn("off", F.coalesce(F.sum("n").over(w_host), F.lit(0)))
+        .withColumn("tot", F.sum("n").over(w_host_all))
         .withColumn(
             "survive",
             F.least(F.col("n"), F.greatest(F.lit(0), F.lit(budget) - F.col("off"))),
@@ -233,10 +235,17 @@ def dequeue_rank(
             int(r["pid"]): int(r["s"])
             for r in pref.groupBy("pid").agg(F.sum("survive").alias("s")).collect()
         }
+        # offsets matter only for OVER-BUDGET hosts: if a host's total
+        # ≤ budget, every row survives regardless of offset (off + pos
+        # < total ≤ budget), so under-budget hosts spanning several
+        # partitions must NOT reach the driver — without the tot filter
+        # the collect is O(hosts × partitions) again in the
+        # many-light-hosts regime this redesign exists for
         host_off = {
             (int(r["pid"]), r["gkey"]): int(r["off"])
             for r in pref.filter(
                 (F.col("off") > 0) & (F.col("off") < budget)
+                & (F.col("tot") > budget)
             ).select("pid", "gkey", "off").collect()
         }
         dead_from = {

@@ -48,7 +48,11 @@ def cosine_scores(
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     qn = float(np.linalg.norm(query_vec)) or 1.0
     cos = _dot(F.col(vec_col), q) / (_norm(F.col(vec_col)) * F.lit(qn))
-    return emb.select(F.col(id_col), F.round(cos, 4).alias("cosine"))
+    # floor-round: ROUND(double) differs between engines on ...5 halves
+    return emb.select(
+        F.col(id_col),
+        (F.floor(cos * 10000 + F.lit(0.5)) / 10000).alias("cosine"),
+    )
 
 
 def cosine_topk(

@@ -33,10 +33,11 @@ def token_stats(docs: DataFrame) -> DataFrame:
         F.size(toks).alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
         F.length("text").alias("n_chars_calc"),
-        F.round(
-            F.length(F.regexp_replace("text", r"\s", "")).cast("double")
-            / F.greatest(F.size(toks), F.lit(1)),
-            4,
+        (
+            F.floor(
+                F.length(F.regexp_replace("text", r"\s", "")).cast("double")
+                / F.greatest(F.size(toks), F.lit(1)) * 10000 + F.lit(0.5)
+            ) / 10000
         ).alias("avg_token_len"),
     )
 
@@ -85,7 +86,7 @@ def langid(docs: DataFrame) -> DataFrame:
     )
     return docs.select(
         "doc_id",
-        F.round(en, 4).alias("en_score"),
+        (F.floor(en * 10000 + F.lit(0.5)) / 10000).alias("en_score"),
         F.when(en >= 0.08, "en").otherwise("unk").alias("predicted_lang"),
     )
 

@@ -321,6 +321,18 @@ class PartitionedCuckoo:
             off += int(ln)
         return pc
 
+    @classmethod
+    def part_from_bytes(cls, blob: bytes, pid: int) -> CuckooFilter:
+        """Deserialize ONE shard from a serialized PartitionedCuckoo —
+        executor tasks own a few pids and must not materialize all
+        n_parts tables (that would defeat the per-task memory bound the
+        sharding provides)."""
+        assert blob[:4] == cls.MAGIC, "bad partitioned-cuckoo blob"
+        n_parts = int(np.frombuffer(blob[4:12], dtype=np.uint64)[0])
+        lens = np.frombuffer(blob[12:12 + 8 * n_parts], dtype=np.uint64)
+        off = 12 + 8 * n_parts + int(lens[:pid].sum())
+        return CuckooFilter.from_bytes(blob[off:off + int(lens[pid])])
+
 
 def _grow_part_with(hashes: np.ndarray, start_buckets: int) -> CuckooFilter:
     """Build one part from its full hash set, doubling until it fits."""
@@ -356,21 +368,23 @@ def update_cuckoo(
     part_of = F.pmod(F.col(hash_col).cast("long"), F.lit(n_parts))
 
     def insert_parts(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        base: PartitionedCuckoo | None = None
         local: dict[int, CuckooFilter] = {}
         failed: set[int] = set()
         for pdf in batches:
             if not len(pdf):
                 continue
-            if base is None:
-                base = PartitionedCuckoo.from_bytes(blob_bc.value)
             hashes = pdf[hash_col].to_numpy().astype(np.uint64)
             pids = (hashes % np.uint64(n_parts)).astype(np.int64)
             for pid in np.unique(pids):
                 pid = int(pid)
                 if pid in failed:
                     continue
-                cf = local.setdefault(pid, base.parts[pid])
+                if pid not in local:
+                    # slice ONLY this shard out of the broadcast blob
+                    local[pid] = PartitionedCuckoo.part_from_bytes(
+                        blob_bc.value, pid
+                    )
+                cf = local[pid]
                 for h in hashes[pids == pid]:
                     if not cf.insert(int(h)):
                         # a failed insert evicts a victim mid-kick →

@@ -310,8 +310,9 @@ def q7_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH scored AS (
       SELECT n_name, r_name,
-             ROUND(1.0 - CAST(levenshtein(n_name, r_name) AS DOUBLE)
-                   / GREATEST(LENGTH(n_name), LENGTH(r_name)), 4) AS sim,
+             FLOOR((1.0 - CAST(levenshtein(n_name, r_name) AS DOUBLE)
+                   / GREATEST(LENGTH(n_name), LENGTH(r_name))) * 10000 + 0.5)
+               / 10000 AS sim,
              ROW_NUMBER() OVER (
                PARTITION BY n_name
                ORDER BY 1.0 - CAST(levenshtein(n_name, r_name) AS DOUBLE)
@@ -343,7 +344,7 @@ def q8_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "n_name",
             F.col("r_name").alias("best_region"),
-            F.round("sim_raw", 4).alias("sim"),
+            (F.floor(F.col("sim_raw") * 10000 + F.lit(0.5)) / 10000).alias("sim"),
         )
         .orderBy("n_name")
     )
@@ -414,10 +415,10 @@ def q10_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q11_running_sum",
     """
     SELECT user_id, event_id,
-           ROUND(SUM(value) OVER (
+           FLOOR(SUM(value) OVER (
              PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ), 4) AS running_value
+           ) * 10000 + 0.5) / 10000 AS running_value
     FROM events WHERE user_id < 5
     ORDER BY user_id, event_id
     """,
@@ -436,7 +437,8 @@ def q11_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "user_id",
             "event_id",
-            F.round(F.sum("value").over(w), 4).alias("running_value"),
+            (F.floor(F.sum("value").over(w) * 10000 + F.lit(0.5)) / 10000)
+            .alias("running_value"),
         )
         .orderBy("user_id", "event_id")
     )
@@ -479,7 +481,7 @@ def q12_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type,
            COUNT(*) AS n,
-           ROUND(100.0 * COUNT(*) / SUM(COUNT(*)) OVER (), 4) AS pct
+           FLOOR(100.0 * COUNT(*) / SUM(COUNT(*)) OVER () * 10000 + 0.5) / 10000 AS pct
     FROM events GROUP BY event_type ORDER BY event_type
     """,
 )
@@ -491,7 +493,11 @@ def q13_value_counts_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         e.groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n"))
-        .withColumn("pct", F.round(F.lit(100.0) * F.col("n") / F.sum("n").over(w), 4))
+        .withColumn(
+            "pct",
+            F.floor(F.lit(100.0) * F.col("n") / F.sum("n").over(w) * 10000
+                    + F.lit(0.5)) / 10000,
+        )
         .orderBy("event_type")
     )
 
@@ -589,7 +595,7 @@ def q16_union_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(ts AS DATE) + INTERVAL 1 DAY AS next_day,
            strftime(ts, '%Y-%m-%d') AS day_str,
            CONCAT(event_type, '/', CAST(user_id AS VARCHAR)) AS tag,
-           ROUND(value, 1) AS value_r,
+           FLOOR(value * 10 + 0.5) / 10 AS value_r,
            CAST(FLOOR(value) AS BIGINT) AS value_floor,
            SUBSTRING(CAST(CAST(FLOOR(value) AS BIGINT) AS VARCHAR), 1, 2) AS first2
     FROM events WHERE event_id < 200 ORDER BY event_id
@@ -611,7 +617,7 @@ def q17_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("ts").cast("date") + F.expr("interval 1 day")).cast("timestamp").alias("next_day"),
             F.date_format("ts", "yyyy-MM-dd").alias("day_str"),
             F.concat_ws("/", "event_type", F.col("user_id").cast("string")).alias("tag"),
-            F.round("value", 1).alias("value_r"),
+            (F.floor(F.col("value") * 10 + F.lit(0.5)) / 10).alias("value_r"),
             F.floor("value").cast("bigint").alias("value_floor"),
             F.substring(F.floor("value").cast("bigint").cast("string"), 1, 2).alias("first2"),
         )
@@ -681,8 +687,9 @@ _STOP_SQL = "['" + "','".join(TS.STOPWORDS) + "']"
            len(string_split(text, ' ')) AS n_tokens,
            len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
            LENGTH(text) AS n_chars_calc,
-           ROUND(CAST(LENGTH(REGEXP_REPLACE(text, '\\s', '', 'g')) AS DOUBLE)
-                 / GREATEST(len(string_split(text, ' ')), 1), 4) AS avg_token_len
+           FLOOR(CAST(LENGTH(REGEXP_REPLACE(text, '\\s', '', 'g')) AS DOUBLE)
+                 / GREATEST(len(string_split(text, ' ')), 1) * 10000 + 0.5)
+             / 10000 AS avg_token_len
     FROM documents ORDER BY doc_id
     """,
 )
@@ -732,7 +739,7 @@ def q20_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
              / GREATEST(CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0) AS en
       FROM documents
     )
-    SELECT doc_id, ROUND(en, 4) AS en_score,
+    SELECT doc_id, FLOOR(en * 10000 + 0.5) / 10000 AS en_score,
            CASE WHEN en >= 0.08 THEN 'en' ELSE 'unk' END AS predicted_lang
     FROM t ORDER BY doc_id
     """,
@@ -797,7 +804,7 @@ def q23_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY 1, 2, 3, 4
     )
     SELECT doc_a, doc_b,
-           ROUND(CAST(inter AS DOUBLE) / (na + nb - inter), 4) AS jaccard
+           FLOOR(CAST(inter AS DOUBLE) / (na + nb - inter) * 10000 + 0.5) / 10000 AS jaccard
     FROM pairs
     ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20
     """,
@@ -815,14 +822,14 @@ def q24_ngram_jaccard_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
     scored AS (
       SELECT vec_id,
-             ROUND(
+             FLOOR(
                list_sum(list_transform(list_zip(embedding, (SELECT qv FROM q)),
                         p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
                / (SQRT(list_sum(list_transform(embedding,
                         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
                   * SQRT((SELECT list_sum(list_transform(qv,
-                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) FROM q))),
-               4) AS cosine
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) FROM q)))
+               * 10000 + 0.5) / 10000 AS cosine
       FROM embeddings
     )
     SELECT vec_id, cosine FROM scored
@@ -866,8 +873,9 @@ def q26_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT label,
            COUNT(*) AS n,
-           ROUND(AVG(SQRT(list_sum(list_transform(embedding,
-                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS avg_norm
+           FLOOR(AVG(SQRT(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) * 10000 + 0.5)
+             / 10000 AS avg_norm
     FROM embeddings GROUP BY label ORDER BY label
     """,
 )
@@ -884,7 +892,7 @@ def q27_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         emb.select("label", norm.alias("nrm"))
         .groupBy("label")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("nrm"), 4).alias("avg_norm"))
+        .agg(F.count(F.lit(1)).alias("n"), (F.floor(F.avg("nrm") * 10000 + F.lit(0.5)) / 10000).alias("avg_norm"))
         .orderBy("label")
     )
 
@@ -895,7 +903,7 @@ def q27_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
            event_type,
            COUNT(*) AS n,
-           ROUND(SUM(value), 4) AS sum_value
+           FLOOR(SUM(value) * 10000 + 0.5) / 10000 AS sum_value
     FROM events GROUP BY 1, 2 ORDER BY window_start, event_type
     """,
 )
@@ -907,7 +915,7 @@ def q28_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            (F.floor(F.sum("value") * 10000 + F.lit(0.5)) / 10000).alias("sum_value"),
         )
         .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
         .orderBy("window_start", "event_type")
@@ -1087,10 +1095,10 @@ def q37_except_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q38_approx_percentiles",
     """
     SELECT event_type,
-           ROUND(quantile_cont(value, 0.5), 4) AS p50,
-           ROUND(quantile_cont(value, 0.95), 4) AS p95,
-           ROUND(MIN(value), 4) AS vmin,
-           ROUND(MAX(value), 4) AS vmax
+           FLOOR(quantile_cont(value, 0.5) * 10000 + 0.5) / 10000 AS p50,
+           FLOOR(quantile_cont(value, 0.95) * 10000 + 0.5) / 10000 AS p95,
+           FLOOR(MIN(value) * 10000 + 0.5) / 10000 AS vmin,
+           FLOOR(MAX(value) * 10000 + 0.5) / 10000 AS vmax
     FROM events GROUP BY event_type ORDER BY event_type
     """,
 )
@@ -1102,10 +1110,10 @@ def q38_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         e.groupBy("event_type")
         .agg(
-            F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
-            F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
-            F.round(F.min("value"), 4).alias("vmin"),
-            F.round(F.max("value"), 4).alias("vmax"),
+            (F.floor(F.expr("percentile(value, 0.5)") * 10000 + F.lit(0.5)) / 10000).alias("p50"),
+            (F.floor(F.expr("percentile(value, 0.95)") * 10000 + F.lit(0.5)) / 10000).alias("p95"),
+            (F.floor(F.min("value") * 10000 + F.lit(0.5)) / 10000).alias("vmin"),
+            (F.floor(F.max("value") * 10000 + F.lit(0.5)) / 10000).alias("vmax"),
         )
         .orderBy("event_type")
     )
@@ -1273,7 +1281,7 @@ def q42_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q43_json_props",
     """
     SELECT event_type,
-           ROUND(AVG(CAST(json_extract(props, '$.k') AS INT)), 4) AS avg_k,
+           FLOOR(AVG(CAST(json_extract(props, '$.k') AS INT)) * 10000 + 0.5) / 10000 AS avg_k,
            MAX(CAST(json_extract(props, '$.k') AS INT)) AS max_k,
            COUNT(*) AS n
     FROM events GROUP BY event_type ORDER BY event_type
@@ -1288,7 +1296,7 @@ def q43_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         e.groupBy("event_type")
         .agg(
-            F.round(F.avg(k), 4).alias("avg_k"),
+            (F.floor(F.avg(k) * 10000 + F.lit(0.5)) / 10000).alias("avg_k"),
             F.max(k).alias("max_k"),
             F.count(F.lit(1)).alias("n"),
         )

@@ -110,6 +110,26 @@ class SnapshotTable:
         indexing job) reads per epoch instead of the full 100 TB table.
         """
         to_snap = self.latest() if to_snap is None else to_snap
+        # the path-diff equals the row-delta ONLY across append commits:
+        # an overwrite / partition-overwrite / compaction rewrites rows
+        # it did not change, so its whole file set would surface as
+        # "new".  Refuse rather than double-deliver.
+        s = to_snap
+        while s is not None and s > from_snap:
+            m = self.manifest(s)
+            parent_paths = (
+                set(self.manifest(m["parent"])["data_paths"])
+                if m["parent"] is not None
+                else set()
+            )
+            wrote = set(m["data_paths"]) - parent_paths
+            if m["mode"] != "append" and wrote:
+                raise ValueError(
+                    f"read_changes crosses a non-append data commit "
+                    f"(snap {s}, mode={m['mode']}); incremental reads are "
+                    "only defined over append history"
+                )
+            s = m["parent"]
         old = set(self.manifest(from_snap)["data_paths"])
         new = [p for p in self.manifest(to_snap)["data_paths"] if p not in old]
         if not new:
@@ -136,7 +156,14 @@ class SnapshotTable:
         n_files = len(m["data_paths"])
         if target_partitions is not None:
             current = current.repartition(target_partitions)
-        metrics = {**(metrics or {}), "compacted_from_filesets": n_files}
+        # carry the parent's metrics: consumers (e.g. the scheduler's
+        # pending/epoch counters) read them from the latest manifest,
+        # and compaction changes no rows
+        metrics = {
+            **m["metrics"],
+            **(metrics or {}),
+            "compacted_from_filesets": n_files,
+        }
         if m.get("partition_col"):
             # keep the table partitioned (a plain overwrite would drop
             # the partition map and block future partition commits)
@@ -216,12 +243,24 @@ class SnapshotTable:
         input plan.
         """
         prev = self.latest()
+        if prev is not None and df is not None and self.manifest(prev).get(
+            "partition_col"
+        ):
+            # appending plain file sets to a partitioned table would mix
+            # unmapped rows with validity-filtered scans (append), or
+            # drop the partition map entirely (overwrite) — both unmask
+            # stale rows on read.  Use commit_partition_overwrite.
+            # (checked BEFORE staging so a rejected commit leaves no
+            # orphan .staging dir)
+            raise ValueError(
+                "plain data commit on a partitioned table; use "
+                "commit_partition_overwrite (or compact) instead"
+            )
         snap = 0 if prev is None else prev + 1
         sdir, stage = self._stage_dirs(snap)
 
         rel = f"snap-{snap:05d}/data"
         data_paths: list[str] = []
-        carried = False
         if mode == "append" and prev is not None:
             data_paths.extend(self.manifest(prev)["data_paths"])
         if df is not None:
@@ -233,7 +272,6 @@ class SnapshotTable:
                 lineage = fin_lineage if fin_lineage is not None else lineage
         elif mode != "append" and prev is not None:
             data_paths.extend(self.manifest(prev)["data_paths"])
-            carried = True
 
         manifest = {
             "snapshot": snap,
@@ -244,10 +282,12 @@ class SnapshotTable:
             "lineage": lineage or [],
             "state_files": sorted((state or {}).keys()),
         }
-        if carried:
-            # metadata-only snapshot: the partition map (if any) still
-            # describes the carried data files exactly
-            parent_m = self.manifest(prev)
+        if df is None:
+            # metadata-only snapshot (any mode): the data files carry
+            # forward unchanged, so the partition map (if any) still
+            # describes them exactly and MUST carry too — dropping it
+            # would unmask stale rows on the next read
+            parent_m = self.manifest(prev) if prev is not None else {}
             for k in ("partition_col", "partitions"):
                 if k in parent_m:
                     manifest[k] = parent_m[k]
@@ -295,6 +335,24 @@ class SnapshotTable:
         from pyspark.sql import functions as F
 
         prev = self.latest()
+        parent_parts: dict[str, str] = {}
+        if prev is not None:
+            parent_m = self.manifest(prev)
+            assert parent_m.get("partition_col") in (None, partition_col), (
+                "partition column changed mid-table"
+            )
+            if "partitions" not in parent_m and parent_m["data_paths"]:
+                # a plain-overwrite parent has no partition map: carrying
+                # only the touched partitions forward would silently drop
+                # every other row — refuse (before staging/writing
+                # anything) instead of corrupting
+                raise ValueError(
+                    "commit_partition_overwrite on an unpartitioned parent "
+                    "snapshot; rewrite the table once with a partitioned "
+                    "full commit first"
+                )
+            parent_parts = dict(parent_m.get("partitions", {}))
+
         snap = 0 if prev is None else prev + 1
         sdir, stage = self._stage_dirs(snap)
         rel = f"snap-{snap:05d}/data"
@@ -309,23 +367,6 @@ class SnapshotTable:
                 .distinct().collect()
             ]
         touched = {str(v): rel for v in touched_values}
-
-        parent_parts: dict[str, str] = {}
-        if prev is not None:
-            parent_m = self.manifest(prev)
-            assert parent_m.get("partition_col") in (None, partition_col), (
-                "partition column changed mid-table"
-            )
-            if "partitions" not in parent_m and parent_m["data_paths"]:
-                # a plain-overwrite parent has no partition map: carrying
-                # only the touched partitions forward would silently drop
-                # every other row — refuse instead of corrupting
-                raise ValueError(
-                    "commit_partition_overwrite on an unpartitioned parent "
-                    "snapshot; rewrite the table once with a partitioned "
-                    "full commit first"
-                )
-            parent_parts = dict(parent_m.get("partitions", {}))
         partitions = {**parent_parts, **touched}
         data_paths = sorted(set(partitions.values()))
         if not data_paths:

@@ -73,7 +73,10 @@ def windowed_counts(events: DataFrame, window: str = "1 hour",
         .groupBy(F.window("ts", window).alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            # floor-round, matching q28's batch form exactly (ROUND and
+            # floor-rounding differ on ...5 halves)
+            (F.floor(F.sum("value") * 10000 + F.lit(0.5)) / 10000)
+            .alias("sum_value"),
         )
         .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
     )

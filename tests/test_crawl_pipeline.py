@@ -188,14 +188,18 @@ def test_duplicate_admission_not_refetched(spark, frontier_rows, tmp_path):
     j.run()
     n_docs_before = j.docs_tbl.read(spark).count()
 
-    # re-admit 5 already-fetched URLs as fresh pending rows
+    # re-admit 5 already-fetched URLs as fresh pending rows (via the
+    # partition-aware commit, as the streaming admit path does)
     dup_rows = [dict(r, status="pending", epoch=-1) for r in frontier_rows[:5]]
     frontier = j.frontier_tbl.read(spark)
     dups = spark.createDataFrame(dup_rows).withColumn(
         "url_hash", F.xxhash64("url")
     ).select(*frontier.columns)
-    j.frontier_tbl.commit(
-        frontier.unionByName(dups),
+    touched = [r["period"] for r in dups.select("period").distinct().collect()]
+    j.frontier_tbl.commit_partition_overwrite(
+        frontier.filter(F.col("period").isin(touched)).unionByName(dups),
+        "period",
+        touched_values=touched,
         metrics={**j.frontier_tbl.manifest()["metrics"], "pending": 5},
         state={"urlseen-bloom.bin": j.frontier_tbl.state("urlseen-bloom.bin")},
     )

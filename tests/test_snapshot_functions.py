@@ -234,3 +234,23 @@ def test_incremental_docs_after_epoch(spark, tmp_path):
     j.run_epoch()
     delta = {r["doc_id"] for r in j.read_new_documents(snap1).select("doc_id").collect()}
     assert len(delta) == 2 and not (delta & first)
+
+
+def test_plain_commit_refused_on_partitioned_table(spark, tmp_path):
+    """Both directions of layout mixing are refused: partitioned commit
+    on a plain parent, and plain data commit on a partitioned parent
+    (either would unmask stale rows or drop data)."""
+    import pytest
+
+    from fide_crawler_spark.sources.snapshot import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "mixed"))
+    df = spark.createDataFrame([("a", 1)], "period string, u long")
+    t.commit_partition_overwrite(df, "period")
+    with pytest.raises(ValueError, match="partitioned table"):
+        t.commit(df, mode="overwrite")
+    with pytest.raises(ValueError, match="partitioned table"):
+        t.commit(df, mode="append")
+    # metadata-only commits still fine (state updates carry the map)
+    snap = t.commit(None, metrics={"x": 1})
+    assert t.manifest(snap)["partitions"] == {"a": "snap-00000/data"}
