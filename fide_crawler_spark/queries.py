@@ -148,8 +148,10 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
                         THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE)
                  / COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END)
                  * 10000 + 0.5) / 10000 AS avg_o,
-           SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS n_urgent,
-           SUM(CASE WHEN o_totalprice > 1000 THEN 1 ELSE 0 END) AS n_big,
+           CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_urgent,
+           CAST(SUM(CASE WHEN o_totalprice > 1000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_big,
            COUNT(*) AS n
     FROM orders
     """,
@@ -1209,10 +1211,10 @@ def q40_gap_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sess AS (
       SELECT user_id, event_id, value,
-             SUM(new_session) OVER (
+             CAST(SUM(new_session) OVER (
                PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-             ) AS session_id
+             ) AS BIGINT) AS session_id
       FROM gaps
     )
     SELECT user_id, session_id,
