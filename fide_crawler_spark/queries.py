@@ -1430,3 +1430,100 @@ def q47_seed_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequential oracle is the correctness gate): query → member-block
     parse → admission/canonicalization → seed list in result order."""
     return P.seeds_from_query(spark, "carlsen")
+
+
+# --------------------------------------------------------------------------
+# Time-series joins (beyond the reference): as-of + range — DuckDB has
+# native ASOF JOIN / inequality joins, so both carry full value oracles.
+# --------------------------------------------------------------------------
+from fide_crawler_spark.operators import asof as AJ  # noqa: E402
+
+
+@query(
+    "q48_asof_join",
+    """
+    WITH clicks AS (
+      SELECT user_id, ts, MAX(value) AS click_value
+      FROM events WHERE event_type = 'click'
+      GROUP BY user_id, ts
+    )
+    SELECT e.event_id, e.user_id, e.value, c.click_value AS click_value_asof
+    FROM events e
+    ASOF LEFT JOIN clicks c
+      ON e.user_id = c.user_id AND e.ts >= c.ts
+    ORDER BY e.event_id
+    """,
+)
+def q48_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event gets the value of the user's latest click
+    at-or-before it (pandas merge_asof / kdb aj semantics).  The Spark
+    side is the union+window composition (operators/asof.py) — one
+    shuffle by user, no nested loop; DuckDB's native ASOF JOIN is the
+    oracle.  Right side pre-aggregated per (user, ts) so ties are
+    deterministic in both engines."""
+    e = load(spark, sf_dir, "events")
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+    )
+    return (
+        AJ.asof_join(
+            e.select("event_id", "user_id", "ts", "value"),
+            clicks,
+            on=["user_id"],
+            value_cols=["click_value"],
+        )
+        .select("event_id", "user_id", "value", "click_value_asof")
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "q49_range_join",
+    """
+    WITH intervals AS (
+      SELECT o_orderkey AS interval_id,
+             o_orderdate AS lo,
+             o_orderdate + INTERVAL 3 DAY AS hi
+      FROM orders WHERE o_orderkey % 97 = 0
+    )
+    SELECT i.interval_id, COUNT(e.event_id) AS n_events,
+           CAST(COALESCE(SUM(CAST(e.value AS DECIMAL(18,6))), 0) AS DOUBLE)
+               AS sum_value
+    FROM intervals i LEFT JOIN events e
+      ON e.ts BETWEEN i.lo AND i.hi
+    GROUP BY i.interval_id ORDER BY i.interval_id
+    """,
+)
+def q49_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (point-in-interval) join via bin-explode + equi-join +
+    exact filter (operators/asof.range_join_binned) — the scale path
+    that avoids the BroadcastNestedLoopJoin a raw BETWEEN join plans.
+    Left semantics recovered by re-joining interval ids for the
+    zero-match count=0 rows."""
+    o, e = load(spark, sf_dir, "orders"), load(spark, sf_dir, "events")
+    intervals = o.filter(F.col("o_orderkey") % 97 == 0).select(
+        F.col("o_orderkey").alias("interval_id"),
+        F.col("o_orderdate").alias("lo"),
+        (F.col("o_orderdate") + F.expr("interval 3 days")).alias("hi"),
+    )
+    matched = AJ.range_join_binned(
+        e.select(F.col("event_id"), F.col("ts"), F.col("value")),
+        intervals, "ts", "lo", "hi",
+    )
+    counts = matched.groupBy("interval_id").agg(
+        F.count("event_id").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+        .alias("sum_value"),
+    )
+    return (
+        intervals.select("interval_id")
+        .join(counts, "interval_id", "left")
+        .select(
+            "interval_id",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
+        )
+        .orderBy("interval_id")
+    )
