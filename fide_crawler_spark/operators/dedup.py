@@ -81,6 +81,10 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("doc"), shingles_col(n=n).alias("sh")
     ).withColumn("n_sh", F.size("sh"))
     flat = sh.select("doc", "n_sh", F.explode("sh").alias("shingle"))
+    # join/shuffle on the shingle's 8-byte xxhash64 instead of the ~n·8
+    # byte string (measured ~15% on the sf0.1 bench; collisions are
+    # 2^-64-scale — standard shingle-hashing practice)
+    flat = flat.withColumn("shingle", F.xxhash64("shingle"))
     if max_doc_freq is not None:
         keep = (
             flat.groupBy("shingle")
