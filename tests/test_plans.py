@@ -56,3 +56,28 @@ def test_minhash_plan_has_no_python_udf(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, (
         "minhash must stay JVM-side"
     )
+
+
+def test_range_join_avoids_nested_loop(spark, sf_dir):
+    """q49's binned range join must plan as a hash/merge equi-join on
+    the bin key — never BroadcastNestedLoopJoin (the plan a raw
+    inequality join degenerates to)."""
+    from fide_crawler_spark.plans import formatted_plan
+
+    df = QUERIES["q49_range_join"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+    assert "CartesianProduct" not in plan
+
+
+def test_asof_join_is_single_keyed_window(spark, sf_dir):
+    """q48's as-of join is one window partitioned by the key — no join
+    node at all, no Python, no unpartitioned window."""
+    from fide_crawler_spark.plans import formatted_plan
+
+    df = QUERIES["q48_asof_join"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Window") >= 1
+    # the only join allowed is none: union + window implements the match
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan

@@ -51,3 +51,42 @@ def test_dequeue_rank_on_large_input_stays_parallel(spark):
     # then seed 2's first 498 months... i.e. ranks follow seed_pos asc
     assert [r["rank"] for r in rows] == list(range(1, 1001))
     assert rows[0]["seed_pos"] == 0 and rows[-1]["seed_pos"] == 1000 // 501
+
+
+def test_pack_shards_equals_window_form_any_parallelism(spark):
+    """Shard boundaries are a data property: the two-pass scalable form
+    equals the single-window reference at different partition counts."""
+    from pyspark.sql import functions as F
+
+    from fide_crawler_spark.operators.shards import (
+        pack_shards,
+        pack_shards_window,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, 50 + (i * 37) % 300) for i in range(5000)],
+        "doc_id long, n_tokens long",
+    )
+    order = [F.col("doc_id").asc()]
+    expect = {
+        r["doc_id"]: r["shard_id"]
+        for r in pack_shards_window(docs, "n_tokens", 4096, order).collect()
+    }
+    for p in (3, 17):
+        got = {
+            r["doc_id"]: r["shard_id"]
+            for r in pack_shards(
+                docs, "n_tokens", 4096, order, num_partitions=p
+            ).collect()
+        }
+        assert got == expect
+    # packing invariant: shard token sums ≈ budget (except the last)
+    import collections
+
+    sums = collections.defaultdict(int)
+    toks = {r["doc_id"]: r["n_tokens"] for r in docs.collect()}
+    for d, s in expect.items():
+        sums[s] += toks[d]
+    max_doc = max(toks.values())
+    last = max(sums)
+    assert all(4096 - max_doc <= v for s, v in sums.items() if s != last)
