@@ -81,3 +81,36 @@ def test_asof_join_is_single_keyed_window(spark, sf_dir):
     assert plan.count("Window") >= 1
     # the only join allowed is none: union + window implements the match
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_bucketed_urlseen_join_has_no_shuffle(spark, tmp_path):
+    """The 10^10-scale URL-seen path: frontier and seen-set bucketed by
+    url_hash join with ZERO Exchange nodes (bucket i reads against
+    bucket i).  Broadcast is disabled so the shuffle-free claim is
+    about bucketing, not about the small side fitting in memory."""
+    from fide_crawler_spark.plans import formatted_plan
+    from fide_crawler_spark.sources.bucketed import (
+        colocated_anti_join,
+        write_bucketed,
+    )
+
+    # (spark.sql.warehouse.dir is a static conf — the managed tables
+    # land in the session default and are dropped below)
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        frontier = spark.range(20000).selectExpr(
+            "id AS url_hash", "'pending' AS status"
+        )
+        seen = spark.range(10000).selectExpr("id * 2 AS url_hash")
+        write_bucketed(frontier, "frontier_bkt", n_buckets=8)
+        write_bucketed(seen, "seen_bkt", n_buckets=8)
+        j = colocated_anti_join(spark, "frontier_bkt", "seen_bkt")
+        plan = formatted_plan(j)
+        assert "Exchange" not in plan, plan[:1500]
+        assert "Bucketed: true" in plan
+        assert j.count() == 10000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP TABLE IF EXISTS frontier_bkt")
+        spark.sql("DROP TABLE IF EXISTS seen_bkt")
