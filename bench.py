@@ -63,6 +63,8 @@ HEADLINE = [
     "q28_tumbling_window",
     "q29_minhash_lsh_candidates",
     "q45_player_profiles",
+    "q48_asof_join",
+    "q50_shard_packing",
 ]
 
 # deep tier: the heavy dedup family at sf0.1 — slower, but regressions
