@@ -53,15 +53,20 @@ def asof_join(
     payload = F.struct(
         F.col(right_ts).alias("__rts"), *[F.col(c) for c in value_cols]
     )
-    r = right.select(
+    # a NULL key or NULL ts never matches in SQL ASOF / merge_asof
+    # semantics — without this filter a null-ts right row would sort
+    # first in the window and hand its payload to every left row
+    not_null = F.col(right_ts).isNotNull()
+    for k in on:
+        not_null = not_null & F.col(k).isNotNull()
+    r = right.filter(not_null).select(
         *[F.col(c) for c in on],
         F.col(right_ts).alias("__t"),
         F.lit(0).alias("__side"),
         payload.alias("__payload"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
           for c in left.columns if c not in on],
-    ).select(*on, "__t", "__side", "__payload",
-             *[c for c in left.columns if c not in on])
+    )
     l = left.select(
         *[F.col(c) for c in on],
         F.col(left_ts).alias("__t"),
@@ -82,9 +87,14 @@ def asof_join(
         .filter(F.col("__side") == 1)
     )
     if tolerance_sec is not None:
-        age = F.col("__t").cast("long") - F.col("__match.__rts").cast("long")
+        # microsecond precision: cast('long') floors away sub-second
+        # fractions, which would widen the tolerance boundary by up to
+        # ~1 s vs merge_asof
+        us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+        age = us(F.col("__t")) - us(F.col("__match.__rts"))
         matched = matched.withColumn(
-            "__match", F.when(age <= tolerance_sec, F.col("__match"))
+            "__match",
+            F.when(age <= int(tolerance_sec) * 1_000_000, F.col("__match")),
         )
     out_cols = [*on, *[c for c in left.columns if c not in on]]
     return matched.select(
@@ -120,7 +130,12 @@ def range_join_binned(
         )
     )
     p = points.withColumn("__bin", p_bin)
-    i = intervals.withColumn("__bin", i_bins)
+    # an inverted interval (lo > hi, e.g. a data glitch) can never
+    # match, but F.sequence would explode it into a DESCENDING bin walk
+    # (default step −1) and shuffle every one of those rows for nothing
+    i = intervals.filter(F.col(lo_col) <= F.col(hi_col)).withColumn(
+        "__bin", i_bins
+    )
     return (
         p.join(i, "__bin")
         .filter(F.col(point_col).between(F.col(lo_col), F.col(hi_col)))

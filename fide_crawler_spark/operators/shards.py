@@ -32,58 +32,63 @@ def pack_shards(
     order_cols: list[Column],
     shard_col: str = "shard_id",
     num_partitions: int | None = None,
+    caches: list | None = None,
 ) -> DataFrame:
     """Add ``shard_col`` = (cumulative tokens BEFORE this doc, in the
     total order) div ``shard_tokens``.  ``order_cols`` must be a total
     order (unique tie-break) — order is a data property, so any
-    partitioning yields identical shards."""
+    partitioning yields identical shards.  NULL token counts count as 0
+    (same as the window form, where SUM skips nulls).
+
+    Like `rank.grouped_rank`, the operator persists its sorted layout
+    (the two passes must see the same partitioning); pass ``caches`` to
+    receive the cached DataFrame and ``unpersist()`` it after consuming
+    the result — otherwise it lives until session end.
+    """
     spark = docs.sparkSession
     p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     sorted_df = (
-        docs.repartitionByRange(p, *order_cols)
+        docs.withColumn(token_col, F.coalesce(F.col(token_col), F.lit(0)))
+        .repartitionByRange(p, *order_cols)
         .sortWithinPartitions(*order_cols)
         .withColumn(_PID, F.spark_partition_id())
         .persist()
     )
-    try:
-        totals = {
-            int(r[_PID]): int(r["t"])
-            for r in sorted_df.groupBy(_PID)
-            .agg(F.sum(token_col).alias("t")).collect()
-        }
-        offsets: dict[int, int] = {}
-        acc = 0
-        for pid in sorted(totals):
-            offsets[pid] = acc
-            acc += totals[pid]
-        bc = spark.sparkContext.broadcast(offsets)
+    totals = {
+        int(r[_PID]): int(r["t"])
+        for r in sorted_df.groupBy(_PID)
+        .agg(F.sum(token_col).alias("t")).collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid]
+    bc = spark.sparkContext.broadcast(offsets)
 
-        out_schema = sorted_df.drop(_PID).schema.add(shard_col, "long")
-        ddl = ", ".join(
-            f"`{f.name}` {f.dataType.simpleString()}" for f in out_schema
-        )
+    out_schema = sorted_df.drop(_PID).schema.add(shard_col, "long")
+    ddl = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in out_schema
+    )
 
-        def attach(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            running = None
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                if running is None:
-                    running = bc.value[int(pdf[_PID].iloc[0])]
-                toks = pdf[token_col].astype("int64")
-                ends = toks.cumsum() + running
-                starts = ends - toks
-                running = int(ends.iloc[-1])
-                out = pdf.drop(columns=[_PID]).copy()
-                out[shard_col] = (starts // shard_tokens).astype("int64")
-                yield out
+    def attach(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        running = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            if running is None:
+                running = bc.value[int(pdf[_PID].iloc[0])]
+            toks = pdf[token_col].astype("int64")
+            ends = toks.cumsum() + running
+            starts = ends - toks
+            running = int(ends.iloc[-1])
+            out = pdf.drop(columns=[_PID]).copy()
+            out[shard_col] = (starts // shard_tokens).astype("int64")
+            yield out
 
-        return sorted_df.mapInPandas(attach, schema=ddl)
-    finally:
-        # the plan reads the persisted layout lazily; unpersist is
-        # deferred to the caller's action via Spark's ref-counting —
-        # but release our handle for long sessions
-        pass
+    if caches is not None:
+        caches.append(sorted_df)
+    return sorted_df.mapInPandas(attach, schema=ddl)
 
 
 def pack_shards_window(
@@ -97,6 +102,7 @@ def pack_shards_window(
     pack_shards at scale)."""
     from pyspark.sql import Window
 
+    docs = docs.withColumn(token_col, F.coalesce(F.col(token_col), F.lit(0)))
     w = Window.orderBy(*order_cols).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )

@@ -120,3 +120,54 @@ def test_range_join_binned_equals_naive(spark):
         ).collect()
     )
     assert got and got == naive
+
+
+def test_asof_null_ts_and_key_right_rows_never_match(spark):
+    """SQL ASOF / merge_asof semantics: a right row with NULL ts (or
+    NULL key) matches nothing — it must not sort first in the window
+    and leak its payload to every left row."""
+    left = spark.createDataFrame(
+        [(1, "2023-01-01 10:00:00", 1.0)], "k long, ts string, x double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(1, None, 9.0), (None, "2023-01-01 09:00:00", 8.0)],
+        "k long, ts string, v double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    [row] = asof_join(left, right, on=["k"], value_cols=["v"]).collect()
+    assert row["v_asof"] is None
+
+
+def test_asof_tolerance_subsecond_boundary(spark):
+    """Tolerance is microsecond-exact: an age of 3600.9s must NOT pass
+    tolerance_sec=3600 (second-truncated epochs would floor it to
+    3600 and keep the match, diverging from merge_asof)."""
+    left = spark.createDataFrame(
+        [(1, "2023-01-01 11:00:00.9", 0.0)], "k long, ts string, x double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(1, "2023-01-01 10:00:00.0", 5.0)], "k long, ts string, v double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    [row] = asof_join(
+        left, right, on=["k"], value_cols=["v"], tolerance_sec=3600
+    ).collect()
+    assert row["v_asof"] is None
+    [row2] = asof_join(
+        left, right, on=["k"], value_cols=["v"], tolerance_sec=3601
+    ).collect()
+    assert row2["v_asof"] == 5.0
+
+
+def test_range_join_inverted_intervals_are_free(spark):
+    """lo > hi intervals must produce zero matches AND zero exploded
+    bins (F.sequence would otherwise walk them backwards)."""
+    points = spark.createDataFrame(
+        [("2023-01-01 12:00:00", 1.0)], "pt string, x double"
+    ).withColumn("pt", F.col("pt").cast("timestamp"))
+    intervals = spark.createDataFrame(
+        [("2023-06-01 00:00:00", "2023-01-01 00:00:00", 1)],
+        "lo string, hi string, interval_id long",
+    ).withColumn("lo", F.col("lo").cast("timestamp")).withColumn(
+        "hi", F.col("hi").cast("timestamp")
+    )
+    out = range_join_binned(points, intervals, "pt", "lo", "hi")
+    assert out.count() == 0

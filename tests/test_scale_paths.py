@@ -90,3 +90,22 @@ def test_pack_shards_equals_window_form_any_parallelism(spark):
     max_doc = max(toks.values())
     last = max(sums)
     assert all(4096 - max_doc <= v for s, v in sums.items() if s != last)
+
+
+def test_pack_shards_null_tokens_count_as_zero(spark):
+    from pyspark.sql import functions as F
+
+    from fide_crawler_spark.operators.shards import (
+        pack_shards,
+        pack_shards_window,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, 100), (1, None), (2, 100)], "doc_id long, n_tokens long"
+    )
+    order = [F.col("doc_id").asc()]
+    got = {r["doc_id"]: r["shard_id"]
+           for r in pack_shards(docs, "n_tokens", 150, order).collect()}
+    exp = {r["doc_id"]: r["shard_id"]
+           for r in pack_shards_window(docs, "n_tokens", 150, order).collect()}
+    assert got == exp == {0: 0, 1: 0, 2: 0}
