@@ -1560,3 +1560,47 @@ def q50_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SH.pack_shards(
         toks, "n_tokens", 4096, [F.col("doc_id").asc()]
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Deterministic sampling (beyond the reference): curation-pipeline ops.
+# --------------------------------------------------------------------------
+from fide_crawler_spark.operators import sampling as SA  # noqa: E402
+
+_RATE_HEX = SA.sample_threshold_hex(0.25)
+
+
+@query(
+    "q51_deterministic_sample",
+    f"""
+    WITH hashed AS (
+      SELECT doc_id, source,
+             md5(CAST(doc_id AS VARCHAR) || 'r2salt') AS h
+      FROM documents
+    ),
+    kept AS (SELECT * FROM hashed WHERE substring(h, 1, 8) < '{_RATE_HEX}'),
+    ranked AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn
+      FROM hashed
+    )
+    SELECT 'rate' AS method, doc_id, source FROM kept
+    UNION ALL
+    SELECT 'stratified' AS method, doc_id, source FROM ranked WHERE rn <= 20
+    ORDER BY method, source, doc_id
+    """,
+)
+def q51_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sampling both ways: hash-threshold rate sample
+    (pure filter, zero shuffle) and exact-k-per-source stratified
+    sample via the scalable grouped_topk (no hot-stratum single-task
+    window).  md5 is bit-identical across engines, so the oracle
+    recomputes the exact membership."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    rate = SA.hash_sample(docs, 0.25, salt="r2salt").select(
+        F.lit("rate").alias("method"), "doc_id", "source"
+    )
+    strat = SA.stratified_sample(docs, "source", 20, salt="r2salt").select(
+        F.lit("stratified").alias("method"), "doc_id", "source"
+    )
+    return rate.unionByName(strat).orderBy("method", "source", "doc_id")

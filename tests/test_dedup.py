@@ -183,3 +183,36 @@ def test_ngram_jaccard_stop_shingle_pruning(spark):
     assert (100, 101) in got and got[(100, 101)] == 1.0
     # boilerplate-only pairs gone
     assert all(a == 100 for (a, b) in got), got
+
+
+def test_hash_sample_is_stable_and_salted(spark):
+    from fide_crawler_spark.operators.sampling import hash_sample
+
+    docs = spark.createDataFrame(
+        [(i, f"s{i%3}") for i in range(2000)], "doc_id long, source string"
+    )
+    a = {r["doc_id"] for r in hash_sample(docs, 0.3, salt="x").collect()}
+    b = {r["doc_id"] for r in hash_sample(docs, 0.3, salt="x").collect()}
+    c = {r["doc_id"] for r in hash_sample(docs, 0.3, salt="y").collect()}
+    assert a == b                      # reproducible
+    assert a != c                      # salt draws a different sample
+    assert 0.2 < len(a) / 2000 < 0.4   # ≈ rate
+    # rate monotonicity: a smaller rate is a subset (same salt)
+    small = {r["doc_id"] for r in hash_sample(docs, 0.1, salt="x").collect()}
+    assert small <= a
+
+
+def test_stratified_sample_exact_k_per_stratum(spark):
+    from fide_crawler_spark.operators.sampling import stratified_sample
+
+    docs = spark.createDataFrame(
+        [(i, f"s{i%4}") for i in range(400)], "doc_id long, source string"
+    )
+    out = stratified_sample(docs, "source", 15).collect()
+    import collections
+
+    per = collections.Counter(r["source"] for r in out)
+    assert per == {f"s{i}": 15 for i in range(4)}
+    # determinism across partitionings
+    again = stratified_sample(docs.repartition(13), "source", 15).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
