@@ -50,6 +50,19 @@ def asof_join(
     value_cols = value_cols or [
         c for c in right.columns if c not in set(on) | {right_ts}
     ]
+    # fail fast on name collisions that would otherwise yield
+    # duplicate/ambiguous output columns: the three internal columns,
+    # and the suffixed output aliases vs existing left columns
+    internal = {"__t", "__side", "__match", "__payload"}
+    clash = internal & (set(left.columns) | set(right.columns))
+    if clash:
+        raise ValueError(f"asof_join reserves column names {sorted(clash)}")
+    out_clash = {c + suffix for c in value_cols} & set(left.columns)
+    if out_clash:
+        raise ValueError(
+            f"asof_join output alias collides with left columns "
+            f"{sorted(out_clash)} — pass a different suffix"
+        )
     payload = F.struct(
         F.col(right_ts).alias("__rts"), *[F.col(c) for c in value_cols]
     )

@@ -33,6 +33,21 @@ from pyspark.sql import functions as F
 MERSENNE = (1 << 31) - 1
 
 
+def md5h(col) -> "F.Column":
+    """Engine-portable 60-bit feature hash: the first 15 hex digits of
+    md5, parsed as an integer.  Bit-identical in DuckDB as
+    ``('0x' || substr(md5(x), 1, 15))::BIGINT`` — the bridge that lets
+    the hash-keyed dedup family carry full SQL value oracles.  15
+    digits (not 16) so the value < 2^60 fits a signed int64 on both
+    engines.  Production paths default to xxhash64 (JVM-native, no hex
+    round-trip); ``portable=True`` switches to this."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def _feature_hash(col, portable: bool):
+    return md5h(col) if portable else F.xxhash64(col)
+
+
 def exact_dedup(docs: DataFrame, content_col: str = "text") -> DataFrame:
     """Exact dedup: one survivor (min doc_id) per distinct content.
     Hash aggregate — partial map-side combine, one shuffle on content
@@ -134,16 +149,20 @@ def _minhash_params(k: int, seed: int = 7) -> list[tuple[int, int]]:
 
 
 def minhash_signatures(
-    docs: DataFrame, k: int = 16, n: int = 3, id_col: str = "doc_id"
+    docs: DataFrame, k: int = 16, n: int = 3, id_col: str = "doc_id",
+    portable: bool = False,
 ) -> DataFrame:
     """k-permutation MinHash signature per doc, computed as k grouped
-    MIN aggregates over xxhash64(shingle) — one shuffle, zero UDFs.
-    Permutation i: (a_i * h + b_i) mod M61 (universal hashing)."""
+    MIN aggregates over hash(shingle) — one shuffle, zero UDFs.
+    Permutation i: (a_i * h + b_i) mod M31 (universal hashing).
+    ``portable=True`` keys on md5h (DuckDB-reproducible) instead of
+    xxhash64 — same algorithm, oracle-checkable signatures."""
     flat = docs.select(
         F.col(id_col).alias("doc"),
         F.explode(shingles_col(n=n)).alias("shingle"),
     ).select(
-        "doc", F.pmod(F.xxhash64("shingle"), F.lit(MERSENNE)).alias("h")
+        "doc",
+        F.pmod(_feature_hash(F.col("shingle"), portable), F.lit(MERSENNE)).alias("h"),
     )
     aggs = [
         F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(MERSENNE))).alias(
@@ -160,19 +179,24 @@ def minhash_lsh_candidates(
     bands: int = 4,
     n: int = 3,
     id_col: str = "doc_id",
+    portable: bool = False,
 ) -> DataFrame:
     """LSH banding: signature split into ``bands`` rows-per-band groups;
     docs colliding on any full band become candidates.  Returns
     (doc_a, doc_b, n_bands_shared), doc_a < doc_b.  Collision prob for
-    Jaccard s: 1-(1-s^(k/bands))^bands."""
-    sig = minhash_signatures(docs, k=k, n=n, id_col=id_col)
+    Jaccard s: 1-(1-s^(k/bands))^bands.  The band hash is only a join
+    key, so its choice never changes the output beyond ~2^-60 collision
+    noise; ``portable=True`` uses md5 so DuckDB reproduces it exactly."""
+    sig = minhash_signatures(docs, k=k, n=n, id_col=id_col, portable=portable)
     rows_per_band = k // bands
-    band_cols = [
-        F.xxhash64(
-            F.lit(b), *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
-        ).alias("band_hash")
-        for b in range(bands)
-    ]
+
+    def band_key(b: int) -> F.Column:
+        cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        if portable:
+            return md5h(F.concat_ws("|", F.lit(str(b)), *cols))
+        return F.xxhash64(F.lit(b), *cols)
+
+    band_cols = [band_key(b).alias("band_hash") for b in range(bands)]
     banded = sig.select(
         "doc",
         F.posexplode(F.array(*band_cols)).alias("band_id", "band_hash"),
@@ -194,10 +218,13 @@ def minhash_dedup(
     bands: int = 4,
     n: int = 3,
     id_col: str = "doc_id",
+    portable: bool = False,
 ) -> DataFrame:
     """Full MinHash-LSH dedup: banded candidates, exact-Jaccard verify,
     survivors = docs not dominated by a smaller near-duplicate id."""
-    cands = minhash_lsh_candidates(docs, k=k, bands=bands, n=n, id_col=id_col)
+    cands = minhash_lsh_candidates(
+        docs, k=k, bands=bands, n=n, id_col=id_col, portable=portable
+    )
     sh = docs.select(F.col(id_col).alias("doc"), shingles_col(n=n).alias("sh"))
     verified = (
         cands.join(sh.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
@@ -216,14 +243,18 @@ def minhash_dedup(
     return docs.join(dominated, id_col, "left_anti")
 
 
-def simhash(docs: DataFrame, bits: int = 16, n: int = 1, id_col: str = "doc_id") -> DataFrame:
-    """SimHash fingerprint: per feature (word n-gram), take the xxhash64
+def simhash(
+    docs: DataFrame, bits: int = 16, n: int = 1, id_col: str = "doc_id",
+    portable: bool = False,
+) -> DataFrame:
+    """SimHash fingerprint: per feature (word n-gram), take the hash's
     bit pattern; each output bit is the sign of the per-bit ±1 vote sum.
     Pure grouped aggregate — ``bits`` conditional sums over one explode.
+    ``portable=True`` votes on md5h bits (DuckDB-reproducible).
     """
     flat = docs.select(
         F.col(id_col).alias("doc"), F.explode(shingles_col(n=n)).alias("feat")
-    ).select("doc", F.xxhash64("feat").alias("h"))
+    ).select("doc", _feature_hash(F.col("feat"), portable).alias("h"))
     votes = [
         F.sum(
             F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -238,10 +269,12 @@ def simhash(docs: DataFrame, bits: int = 16, n: int = 1, id_col: str = "doc_id")
     return voted.select("doc", fp.cast("bigint").alias("simhash"))
 
 
-def simhash_buckets(docs: DataFrame, bits: int = 16, n: int = 1) -> DataFrame:
+def simhash_buckets(
+    docs: DataFrame, bits: int = 16, n: int = 1, portable: bool = False
+) -> DataFrame:
     """Docs sharing an identical SimHash — the hamming-0 candidate
     groups (hamming≤r generalizes by banding the fingerprint)."""
-    sh = simhash(docs, bits=bits, n=n)
+    sh = simhash(docs, bits=bits, n=n, portable=portable)
     return (
         sh.groupBy("simhash")
         .agg(
@@ -252,6 +285,43 @@ def simhash_buckets(docs: DataFrame, bits: int = 16, n: int = 1) -> DataFrame:
     )
 
 
+_EMPTY_PAIRS = {"vec_a": np.int64, "vec_b": np.int64, "cosine": np.float64}
+
+
+def chunk_grid(bucketed: DataFrame, max_chunk_rows: int) -> DataFrame:
+    """Explode (vid, bucket, vec) rows into the chunk-pair grid: rows
+    are hash-assigned to ceil(bucket_size / max_chunk_rows) chunks and
+    replicated once per chunk of their bucket, keyed by
+    (bucket, pair_lo, pair_hi) — each within-bucket pair of rows then
+    appears in exactly one grid group, so a grouped verify is exact
+    while no group holds more than ~two chunks of rows.  ``sizes`` is
+    ≤ #buckets rows → broadcast; n_chunks=1 → zero replication."""
+    sizes = bucketed.groupBy("bucket").agg(
+        F.ceil(F.count(F.lit(1)) / max_chunk_rows).cast("int").alias("__nchunks")
+    )
+    return (
+        bucketed.join(F.broadcast(sizes), "bucket")
+        .withColumn("chunk", F.pmod(F.xxhash64("vid"), F.col("__nchunks")).cast("int"))
+        .withColumn("__other", F.explode(F.sequence(F.lit(0), F.col("__nchunks") - 1)))
+        .select(
+            "bucket", "vid", "vec", "chunk",
+            F.least("chunk", "__other").alias("pair_lo"),
+            F.greatest("chunk", "__other").alias("pair_hi"),
+        )
+    )
+
+
+def _pair_frame(ids_a, ids_b, sims) -> pd.DataFrame:
+    """Order each pair (lo, hi) by id; floor-round cosine to 4 places —
+    FLOOR(x*1e4+0.5)/1e4 matches the SQL-oracle discipline (np.round is
+    banker's and disagrees with DuckDB on .00005 halves)."""
+    lo, hi = np.minimum(ids_a, ids_b), np.maximum(ids_a, ids_b)
+    return pd.DataFrame(
+        {"vec_a": lo, "vec_b": hi,
+         "cosine": np.floor(sims * 10000 + 0.5) / 10000}
+    )
+
+
 def embedding_neardup_pairs(
     emb: DataFrame,
     threshold: float = 0.95,
@@ -259,11 +329,25 @@ def embedding_neardup_pairs(
     seed: int = 11,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_chunk_rows: int = 4096,
 ) -> DataFrame:
     """Embedding-cosine near-dup: random-hyperplane LSH bucket (sign
     bits of ``n_planes`` fixed seeded projections), then exact cosine
-    within buckets via a vectorized pandas verifier (numpy matmul per
-    bucket — the only Python stage, Arrow-batched)."""
+    within buckets via a vectorized pandas verifier (numpy matmul —
+    the only Python stage, Arrow-batched).
+
+    Hot-bucket discipline: a bucket is never one task.  Rows are
+    hash-assigned to ``ceil(bucket_size / max_chunk_rows)`` chunks and
+    each chunk PAIR (i ≤ j) verifies independently, so a pathological
+    bucket (near-uniform corpus, or n_planes=0 for the exact all-pairs
+    mode) becomes O((b/c)²) bounded tasks instead of one O(b²) task.
+    Chunking is exact — every within-bucket pair lands in exactly one
+    chunk-pair task — only the task sizing changes.
+
+    ``n_planes=0`` degenerates to ONE bucket = exact all-pairs cosine
+    over the whole table (the brute-force baseline, still distributed
+    via the chunk grid).
+    """
     first = emb.select(F.col(vec_col).alias("v")).first()
     dim = len(first["v"])
     rng = np.random.default_rng(seed)
@@ -285,26 +369,65 @@ def embedding_neardup_pairs(
         bucketize, schema="vid bigint, bucket bigint, vec array<double>"
     )
 
+    gridded = chunk_grid(bucketed, max_chunk_rows)
+
     def verify(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) < 2:
-            return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []}).astype(
-                {"vec_a": np.int64, "vec_b": np.int64, "cosine": np.float64}
-            )
-        ids = pdf["vid"].to_numpy()
-        m = np.stack(pdf["vec"].to_numpy())
-        norms = np.linalg.norm(m, axis=1, keepdims=True)
-        norms[norms == 0] = 1.0
-        sims = (m / norms) @ (m / norms).T
-        ia, ib = np.triu_indices(len(ids), k=1)
-        mask = sims[ia, ib] >= threshold
-        a, b = ids[ia[mask]], ids[ib[mask]]
-        lo, hi = np.minimum(a, b), np.maximum(a, b)
-        return pd.DataFrame(
-            {"vec_a": lo, "vec_b": hi, "cosine": np.round(sims[ia, ib][mask], 4)}
+            return pd.DataFrame(
+                {k: [] for k in _EMPTY_PAIRS}).astype(_EMPTY_PAIRS)
+        lo_side = pdf[pdf["chunk"] == pdf["pair_lo"].iloc[0]]
+        if pdf["pair_lo"].iloc[0] == pdf["pair_hi"].iloc[0]:
+            # diagonal task: triangle within one chunk
+            ids = lo_side["vid"].to_numpy()
+            m = np.stack(lo_side["vec"].to_numpy())
+            norms = np.linalg.norm(m, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            u = m / norms
+            sims = u @ u.T
+            ia, ib = np.triu_indices(len(ids), k=1)
+            mask = sims[ia, ib] >= threshold
+            return _pair_frame(ids[ia[mask]], ids[ib[mask]], sims[ia, ib][mask])
+        # off-diagonal task: full cross between the two chunks (each
+        # pair of rows from distinct chunks occurs in exactly this task)
+        hi_side = pdf[pdf["chunk"] == pdf["pair_hi"].iloc[0]]
+        if not len(lo_side) or not len(hi_side):
+            return pd.DataFrame(
+                {k: [] for k in _EMPTY_PAIRS}).astype(_EMPTY_PAIRS)
+
+        def unit(rows: pd.DataFrame) -> np.ndarray:
+            m = np.stack(rows["vec"].to_numpy())
+            norms = np.linalg.norm(m, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            return m / norms
+
+        sims = unit(lo_side) @ unit(hi_side).T
+        ia, ib = np.nonzero(sims >= threshold)
+        return _pair_frame(
+            lo_side["vid"].to_numpy()[ia],
+            hi_side["vid"].to_numpy()[ib],
+            sims[ia, ib],
         )
 
     return (
-        bucketed.groupBy("bucket")
+        gridded.groupBy("bucket", "pair_lo", "pair_hi")
         .applyInPandas(verify, schema="vec_a bigint, vec_b bigint, cosine double")
         .dropDuplicates(["vec_a", "vec_b"])
+    )
+
+
+def embedding_neardup_exact(
+    emb: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_chunk_rows: int = 4096,
+) -> DataFrame:
+    """Exact all-pairs cosine near-dup — the oracle-able baseline:
+    n_planes=0 puts every row in one bucket, and the chunk grid
+    distributes the O(n²) comparisons across O((n/c)²) bounded tasks.
+    Use the LSH variant above at corpus scale; this is the ground-truth
+    path for recall measurement and driver-checked correctness."""
+    return embedding_neardup_pairs(
+        emb, threshold=threshold, n_planes=0, id_col=id_col,
+        vec_col=vec_col, max_chunk_rows=max_chunk_rows,
     )

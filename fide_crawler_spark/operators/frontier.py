@@ -18,7 +18,7 @@ Reference behavior (cites into /root/reference/):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 FRONTIER_COLS = [
@@ -110,15 +110,21 @@ def priority_order() -> list:
     ]
 
 
-def with_priority_rank(frontier: DataFrame) -> DataFrame:
-    """North-rule priority queue (SURVEY W3): windowed rank over the
-    frontier.  The unpartitioned window is intentional — the *semantic*
-    is a single global queue — but the dequeue never materializes a
-    global sort of 10^10 rows: the scheduler caps per-host first
-    (politeness.py two-phase top-k), so only ~budget×hosts rows reach
-    this rank.  For a pure top-k dequeue Spark plans
-    ``orderBy().limit(k)`` as TakeOrderedAndProject (no full sort).
+def with_priority_rank(
+    frontier: DataFrame, caches: list | None = None
+) -> DataFrame:
+    """North-rule priority queue (SURVEY W3): global rank over the
+    frontier in priority order.  The *semantic* is a single queue, but
+    the plan must never be the naive ``row_number().over(Window.
+    orderBy(...))`` — an unpartitioned window serializes the whole
+    frontier into ONE task.  Delegates to `rank.grouped_rank` with an
+    empty group: two fully-parallel passes (range-partitioned sort +
+    broadcast prefix offsets) with identical ranks (the priority order
+    is total).  Pass ``caches`` to release the operator's persisted
+    sort layout after consuming the result (see grouped_rank).  The
+    scheduler's hot path uses the fused `rank.dequeue_rank` instead,
+    which folds the per-host politeness cap into the same sorted pass.
     """
-    return frontier.withColumn(
-        "rank", F.row_number().over(Window.orderBy(*priority_order()))
-    )
+    from fide_crawler_spark.operators.rank import grouped_rank
+
+    return grouped_rank(frontier, [], priority_order(), caches=caches)

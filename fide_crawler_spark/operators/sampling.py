@@ -20,8 +20,11 @@ from pyspark.sql import functions as F
 
 def sample_threshold_hex(rate: float, digits: int = 8) -> str:
     """Hex threshold such that P[md5-prefix < threshold] ≈ rate —
-    inline the SAME literal into any SQL oracle for bit-equal samples."""
-    assert 0.0 <= rate <= 1.0
+    inline the SAME literal into any SQL oracle for bit-equal samples.
+    Only meaningful for rate < 1.0: at rate=1.0 the value 16^digits
+    does not fit in ``digits`` hex chars (hash_sample special-cases it).
+    """
+    assert 0.0 <= rate < 1.0, "threshold undefined at rate >= 1.0"
     return format(int(rate * (16 ** digits)), f"0{digits}x")
 
 
@@ -31,7 +34,12 @@ def hash_sample(
     """Deterministic ~rate sample: md5(key‖salt) 8-hex-digit prefix
     compared lexicographically against the rate threshold.  Changing
     ``salt`` draws an independent sample; the same salt always returns
-    the same rows."""
+    the same rows.  rate >= 1.0 keeps every row (the 9-hex-digit
+    threshold '100000000' would otherwise compare lexicographically
+    below most 8-digit prefixes and silently keep ~1/16 of rows)."""
+    assert rate >= 0.0
+    if rate >= 1.0:
+        return docs
     h = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
     return docs.filter(
         F.substring(h, 1, 8) < sample_threshold_hex(rate)

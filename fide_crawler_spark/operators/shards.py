@@ -46,6 +46,17 @@ def pack_shards(
     the result — otherwise it lives until session end.
     """
     spark = docs.sparkSession
+    # both passes accumulate in int64 (pass 1: int(SUM), pass 2:
+    # astype('int64').cumsum()) — a fractional token column would be
+    # silently truncated here but summed exactly by the window form,
+    # breaking the byte-identity claim, so reject it up front
+    tok_type = docs.schema[token_col].dataType.simpleString()
+    if tok_type not in ("tinyint", "smallint", "int", "bigint"):
+        raise TypeError(
+            f"pack_shards requires an integral token column; "
+            f"{token_col!r} is {tok_type} — cast explicitly (floor/round) "
+            f"so shard boundaries are well-defined"
+        )
     p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     sorted_df = (
         docs.withColumn(token_col, F.coalesce(F.col(token_col), F.lit(0)))

@@ -289,7 +289,12 @@ class PartitionedCuckoo:
         return (int(h) & 0xFFFFFFFFFFFFFFFF) % self.n_parts
 
     # driver-side single-key ops (small sets: forced-recrawl deletes,
-    # tests); bulk inserts go through update_cuckoo
+    # tests); bulk inserts go through update_cuckoo.  NOTE: insert() is
+    # a test/bootstrap convenience ONLY — update_cuckoo rebuilds an
+    # overflowed part solely from its ``all_hashes`` source of truth,
+    # so any fingerprint inserted here that is absent from all_hashes
+    # is dropped from that part on overflow.  Production mutations must
+    # all flow through update_cuckoo so state and source of truth agree.
     def insert(self, h: int) -> bool:
         return self.parts[self._pid(h)].insert(h)
 

@@ -489,17 +489,21 @@ def q12_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q13_value_counts_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G6 normalized value_counts → win/draw/loss %
-    (old_scripts/fide-player-stats-en-US.py:516-519)."""
+    (old_scripts/fide-player-stats-en-US.py:516-519).  The grand total
+    is a broadcast cross-join of a one-row aggregate, not a
+    ``Window.partitionBy()`` — even over a 5-row post-aggregate an
+    unpartitioned WindowExec is the plan shape the engine bans."""
     e = load(spark, sf_dir, "events")
-    w = Window.partitionBy()
+    counts = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").alias("__total"))
     return (
-        e.groupBy("event_type")
-        .agg(F.count(F.lit(1)).alias("n"))
+        counts.crossJoin(F.broadcast(total))
         .withColumn(
             "pct",
-            F.floor(F.lit(100.0) * F.col("n") / F.sum("n").over(w) * 10000
+            F.floor(F.lit(100.0) * F.col("n") / F.col("__total") * 10000
                     + F.lit(0.5)) / 10000,
         )
+        .drop("__total")
         .orderBy("event_type")
     )
 
@@ -925,26 +929,117 @@ def q28_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Rows-only entries (non-SQL-expressible: hash-family dedup, ANN, crawl)
-# — verified by the pytest oracles instead (tests/test_dedup.py,
-# tests/test_crawl_pipeline.py)
+# Hash-family dedup with full value oracles: the catalog entries key on
+# md5h (dedup.md5h — 60-bit md5 prefix, bit-identical in DuckDB as
+# ('0x' || substr(md5(x),1,15))::BIGINT), so DuckDB recomputes the
+# entire MinHash/SimHash algebra independently.  The production
+# operators default to xxhash64 (JVM-native); portable=True swaps only
+# the feature hash, not the algorithm — the xxhash64 path keeps its
+# planted-duplicate pytest gates (tests/test_dedup.py).
 # --------------------------------------------------------------------------
-@query("q29_minhash_lsh_candidates")
+_MD5H = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+_M31 = D.MERSENNE
+
+# word 3-gram shingles, deduped — mirrors dedup.shingles_col(n=3)
+_GRAMS3_SQL = f"""
+    toks AS (SELECT doc_id AS doc, string_split(text, ' ') AS l FROM documents),
+    grams AS (
+      SELECT doc,
+             unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(l) - 2, 1)),
+               i -> array_to_string(list_slice(l, i, i + 2), ' ')))) AS gram
+      FROM toks
+    ),
+    hashed AS (
+      SELECT doc, {_MD5H.format(x='gram')} % {_M31} AS h FROM grams
+    )
+"""
+
+
+def _minhash_sql_parts(k: int = 16, bands: int = 4) -> tuple[str, str]:
+    """(sig CTE, bands CTE) reproducing dedup.minhash_signatures +
+    the banded keys with the same (a_i, b_i) literals."""
+    params = D._minhash_params(k)
+    mins = ",\n             ".join(
+        f"MIN(({a} * h + {b}) % {_M31}) AS mh_{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    sig = f"sig AS (SELECT doc,\n             {mins}\n      FROM hashed GROUP BY doc)"
+    rpb = k // bands
+    selects = []
+    for b in range(bands):
+        cols = ", ".join(f"mh_{b * rpb + r}::VARCHAR" for r in range(rpb))
+        selects.append(
+            f"SELECT doc, {b} AS band_id, "
+            f"{_MD5H.format(x=f_concat_ws(b, cols))} AS band_hash FROM sig"
+        )
+    bands_cte = "bands AS (" + "\n      UNION ALL ".join(selects) + ")"
+    return sig, bands_cte
+
+
+def f_concat_ws(b: int, cols: str) -> str:
+    return f"concat_ws('|', '{b}', {cols})"
+
+
+_SIG_CTE, _BANDS_CTE = _minhash_sql_parts(16, 4)
+
+_CAND_CTE = """
+    cand AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_bands_shared
+      FROM bands a
+      JOIN bands b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+                   AND a.doc < b.doc
+      GROUP BY 1, 2
+    )
+"""
+
+
+@query(
+    "q29_minhash_lsh_candidates",
+    f"""
+    WITH {_GRAMS3_SQL}, {_SIG_CTE}, {_BANDS_CTE}, {_CAND_CTE}
+    SELECT doc_a, doc_b, n_bands_shared FROM cand ORDER BY doc_a, doc_b
+    """,
+)
 def q29_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH banded candidate pairs (xxhash64-based — not
-    reproducible in DuckDB; planted-duplicate recall tested in pytest)."""
+    """MinHash+LSH banded candidate pairs, md5-keyed (portable=True) so
+    the oracle recomputes signatures and band collisions exactly."""
     return D.minhash_lsh_candidates(
-        load(spark, sf_dir, "documents"), k=16, bands=4
+        load(spark, sf_dir, "documents"), k=16, bands=4, portable=True
     ).orderBy("doc_a", "doc_b")
 
 
-@query("q30_simhash_buckets")
+@query(
+    "q30_simhash_buckets",
+    f"""
+    WITH toks AS (SELECT doc_id AS doc, string_split(text, ' ') AS l
+                  FROM documents),
+    words AS (SELECT doc, unnest(list_distinct(l)) AS feat FROM toks),
+    hashed AS (SELECT doc, {_MD5H.format(x='feat')} AS h FROM words),
+    votes AS (
+      SELECT doc, i,
+             SUM(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM hashed, (SELECT unnest(generate_series(0, 15)) AS i)
+      GROUP BY doc, i
+    ),
+    fp AS (
+      SELECT doc,
+             CAST(SUM(CASE WHEN v > 0 THEN 1 << i ELSE 0 END) AS BIGINT)
+               AS simhash
+      FROM votes GROUP BY doc
+    )
+    SELECT simhash, COUNT(*) AS n_docs,
+           string_agg(doc::VARCHAR, ',' ORDER BY doc) AS docs
+    FROM fp GROUP BY simhash HAVING COUNT(*) > 1 ORDER BY simhash
+    """,
+)
 def q30_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash equal-fingerprint near-dup buckets.  ``docs`` is joined
-    to a scalar string: the driver's canonicalizer (pandas sort_values)
-    cannot factorize array columns."""
+    """SimHash equal-fingerprint near-dup buckets, md5-keyed bit votes
+    (portable=True) — the oracle rebuilds every fingerprint.  ``docs``
+    is joined to a scalar string: the driver's canonicalizer (pandas
+    sort_values) cannot factorize array columns."""
     return (
-        D.simhash_buckets(load(spark, sf_dir, "documents"))
+        D.simhash_buckets(load(spark, sf_dir, "documents"), portable=True)
         .select(
             "simhash",
             "n_docs",
@@ -954,12 +1049,28 @@ def q30_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q31_embedding_neardup")
+@query(
+    "q31_embedding_neardup",
+    """
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           FLOOR(list_cosine_similarity(a.embedding::DOUBLE[],
+                                        b.embedding::DOUBLE[])
+                 * 10000 + 0.5) / 10000 AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                                 b.embedding::DOUBLE[]) >= 0.4
+    ORDER BY vec_a, vec_b
+    """,
+)
 def q31_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs via random-hyperplane LSH +
-    within-bucket vectorized verify."""
-    return D.embedding_neardup_pairs(
-        load(spark, sf_dir, "embeddings"), threshold=0.9
+    """Exact all-pairs embedding-cosine near-dup — distributed via the
+    chunk grid (dedup.embedding_neardup_exact), value-checked against a
+    brute-force DuckDB join.  The LSH-bucketed production variant
+    (embedding_neardup_pairs, n_planes=8) is recall-gated in pytest
+    (tests/test_dedup.py) — an approximate candidate generator can't
+    carry an exact SQL oracle."""
+    return D.embedding_neardup_exact(
+        load(spark, sf_dir, "embeddings"), threshold=0.4, max_chunk_rows=128
     ).orderBy("vec_a", "vec_b")
 
 
@@ -996,12 +1107,38 @@ def q33_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.decode_media(m).drop("features").orderBy("doc_id")
 
 
-@query("q34_minhash_dedup_survivors")
+@query(
+    "q34_minhash_dedup_survivors",
+    f"""
+    WITH {_GRAMS3_SQL}, {_SIG_CTE}, {_BANDS_CTE}, {_CAND_CTE},
+    sizes AS (SELECT doc, COUNT(*) AS n FROM grams GROUP BY doc),
+    inter AS (
+      SELECT ga.doc AS doc_a, gb.doc AS doc_b, COUNT(*) AS i
+      FROM grams ga JOIN grams gb ON ga.gram = gb.gram AND ga.doc < gb.doc
+      JOIN cand c ON c.doc_a = ga.doc AND c.doc_b = gb.doc
+      GROUP BY 1, 2
+    ),
+    dominated AS (
+      SELECT DISTINCT i.doc_b
+      FROM inter i
+      JOIN sizes sa ON sa.doc = i.doc_a
+      JOIN sizes sb ON sb.doc = i.doc_b
+      WHERE i.i::DOUBLE / (sa.n + sb.n - i.i) >= 0.8
+    )
+    SELECT doc_id FROM documents
+    WHERE doc_id NOT IN (SELECT doc_b FROM dominated)
+    ORDER BY doc_id
+    """,
+)
 def q34_minhash_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full MinHash-LSH dedup: candidates → exact-Jaccard verify →
-    survivors."""
+    """Full MinHash-LSH dedup (md5-keyed, portable=True): banded
+    candidates → exact-Jaccard verify → survivors.  The oracle replays
+    the whole chain — signatures, band collisions, shingle-set Jaccard,
+    anti-join — in SQL."""
     return (
-        D.minhash_dedup(load(spark, sf_dir, "documents"), threshold=0.8)
+        D.minhash_dedup(
+            load(spark, sf_dir, "documents"), threshold=0.8, portable=True
+        )
         .select("doc_id")
         .orderBy("doc_id")
     )
@@ -1323,11 +1460,39 @@ def q43_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q44_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SQL surface: temp views + spark.sql running the SAME ANSI
-    text the DuckDB oracle runs (Catalyst plans SQL and DataFrame code
-    identically — this entry proves the engine exposes both APIs)."""
+    text the DuckDB oracle runs.  On its own this only proves the two
+    engines agree on one SQL string — the operator evidence is
+    :func:`q44_dataframe_twin`, the same logical plan built through the
+    DataFrame API and asserted row-equal to this result in
+    tests/test_queries_oracle.py."""
     for t in ("nation", "customer", "orders"):
         load(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(ORACLE["q44_sql_api"])
+
+
+def q44_dataframe_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame-API twin of q44 (not registered — it exists to prove
+    the DataFrame surface plans the same query the SQL surface does):
+    broadcast dim join → two-fact join → filter → grouped aggregate
+    with a HAVING-style post-filter."""
+    n = load(spark, sf_dir, "nation")
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(o, o.o_custkey == c.c_custkey)
+        .filter(F.col("o_orderstatus") != "P")
+        .groupBy("n_name")
+        .agg(
+            F.countDistinct("c_custkey").alias("n_customers"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double").alias("total_spend"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+        .filter(F.col("__n") > 5)
+        .drop("__n")
+        .orderBy("n_name")
+    )
 
 
 # --------------------------------------------------------------------------

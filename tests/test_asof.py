@@ -171,3 +171,22 @@ def test_range_join_inverted_intervals_are_free(spark):
     )
     out = range_join_binned(points, intervals, "pt", "lo", "hi")
     assert out.count() == 0
+
+
+def test_asof_join_rejects_colliding_names(spark):
+    """Reserved internal names and suffixed output aliases must fail
+    fast instead of yielding duplicate/ambiguous columns."""
+    import pytest
+
+    left = spark.createDataFrame(
+        [(1, "2023-01-01 00:00:00", 1.0)], "k long, ts string, v_asof double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(1, "2023-01-01 00:00:00", 2.0)], "k long, ts string, v double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    with pytest.raises(ValueError, match="collides"):
+        asof_join(left, right, on=["k"], value_cols=["v"])
+
+    bad_internal = left.withColumnRenamed("v_asof", "__side")
+    with pytest.raises(ValueError, match="reserves"):
+        asof_join(bad_internal, right, on=["k"], value_cols=["v"])

@@ -216,3 +216,139 @@ def test_stratified_sample_exact_k_per_stratum(spark):
     # determinism across partitionings
     again = stratified_sample(docs.repartition(13), "source", 15).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_hash_sample_rate_boundaries(spark):
+    """rate=1.0 keeps EVERY row (regression: the 9-hex-digit threshold
+    used to compare below most 8-digit prefixes, silently keeping
+    ~1/16 of rows); rate=0.0 keeps none."""
+    from fide_crawler_spark.operators.sampling import hash_sample
+
+    docs = spark.createDataFrame(
+        [(i, f"s{i%3}") for i in range(2000)], "doc_id long, source string"
+    )
+    assert hash_sample(docs, 1.0).count() == 2000
+    assert hash_sample(docs, 0.0).count() == 0
+
+
+def test_portable_hash_variants_find_planted_dups(spark):
+    """portable=True (md5-keyed, oracle-reproducible) is the same
+    algorithm as the xxhash64 default: planted near-dups still found,
+    identical docs still collide."""
+    df, _ = _mk_docs(spark)
+    cands = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.minhash_lsh_candidates(df, k=16, bands=4, portable=True).collect()
+    }
+    assert sum((j, 1000 + j) in cands for j in range(10)) >= 8
+    survivors = {
+        r["doc_id"]
+        for r in D.minhash_dedup(df, threshold=0.7, portable=True).collect()
+    }
+    assert len({1000 + j for j in range(10)} - survivors) >= 8
+    rows = [(1, "aa bb cc"), (2, "aa bb cc"), (3, "zz yy xx")]
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+    b = D.simhash_buckets(sdf, portable=True).collect()
+    assert len(b) == 1 and b[0]["docs"] == [1, 2]
+
+
+def _brute_pairs(ids, vecs, threshold):
+    u = vecs.astype(np.float64)
+    u = u / np.linalg.norm(u, axis=1, keepdims=True)
+    sims = u @ u.T
+    out = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if sims[i, j] >= threshold:
+                out.add((min(ids[i], ids[j]), max(ids[i], ids[j])))
+    return out
+
+
+def test_embedding_neardup_exact_matches_numpy_any_chunking(spark):
+    """The chunk grid is exact: every chunking returns the identical
+    pair set, equal to the O(n²) numpy oracle."""
+    ids, vecs = _mk_vectors(n=80, n_dups=6)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in zip(ids, vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    want = _brute_pairs(np.array(ids), vecs, 0.5)
+    for chunk_rows in (7, 30, 4096):
+        got = {
+            (r["vec_a"], r["vec_b"])
+            for r in D.embedding_neardup_exact(
+                df, threshold=0.5, max_chunk_rows=chunk_rows
+            ).collect()
+        }
+        assert got == want, f"chunk_rows={chunk_rows}"
+
+
+def test_embedding_neardup_hot_bucket_is_chunked(spark):
+    """Pathological corpus: every vector in ONE LSH bucket (identical
+    direction).  The chunk grid must (a) still return the exact pair
+    set and (b) never feed more than 2×max_chunk_rows — here ≪ n —
+    rows to one verify task."""
+    n, cap = 120, 16
+    base = np.ones(8, dtype=np.float64)
+    rows = [(i, [float(x) for x in base * (1.0 + 0.001 * i)]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = D.embedding_neardup_pairs(
+        df, threshold=0.99, n_planes=8, max_chunk_rows=cap
+    )
+    got = {(r["vec_a"], r["vec_b"]) for r in pairs.collect()}
+    assert len(got) == n * (n - 1) // 2  # collinear → all pairs cosine 1.0
+    # structural guarantee: no verify group ever holds the whole bucket
+    # — every (bucket, pair_lo, pair_hi) group is ≤ two hash-balanced
+    # chunks (loose 4× bound covers hash imbalance), and the grid
+    # splits this single bucket into C(8,2)+8 = 36 independent tasks
+    bucketed = df.selectExpr(
+        "vec_id AS vid", "cast(0 AS bigint) AS bucket",
+        "cast(embedding AS array<double>) AS vec",
+    )
+    grid = D.chunk_grid(bucketed, cap)
+    per_group = grid.groupBy("bucket", "pair_lo", "pair_hi").count().collect()
+    assert len(per_group) == 36
+    assert max(r["count"] for r in per_group) <= 4 * cap
+
+
+def test_embedding_lsh_pairs_subset_of_exact(spark):
+    """LSH candidates are a SUBSET of the exact pair set (no false
+    positives — the verifier is exact), with recall measured against
+    the planted duplicates."""
+    ids, vecs = _mk_vectors(n=150, n_dups=8)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in zip(ids, vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    exact = {
+        (r["vec_a"], r["vec_b"])
+        for r in D.embedding_neardup_exact(df, threshold=0.98).collect()
+    }
+    lsh = {
+        (r["vec_a"], r["vec_b"])
+        for r in D.embedding_neardup_pairs(df, threshold=0.98, n_planes=6).collect()
+    }
+    assert lsh <= exact
+    assert len(lsh) >= len(exact) * 0.6  # recall floor at 6 planes
+
+
+def test_ann_ivf_recall_gate_multi_seed(spark):
+    """IVF recall gate (pinned): across 3 query seeds, recall@10 vs the
+    exact cosine_topk must stay ≥ 0.5 — a broken cell router (wrong
+    centroid math, bad probe ordering) drops this to ~k/n and fails."""
+    ids, vecs = _mk_vectors(n=300, n_dups=0)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in zip(ids, vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    recalls = []
+    for qi in (3, 57, 211):
+        q = [float(x) for x in vecs[qi]]
+        exact = {r["vec_id"] for r in SIM.cosine_topk(df, q, k=10).collect()}
+        approx = {
+            r["vec_id"]
+            for r in SIM.ann_topk_ivf(df, q, k=10, n_cells=8, n_probe=3).collect()
+        }
+        recalls.append(len(exact & approx) / 10)
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
+    assert min(recalls) >= 0.3, recalls

@@ -58,6 +58,25 @@ def test_minhash_plan_has_no_python_udf(spark, sf_dir):
     )
 
 
+def test_no_unpartitioned_window_in_catalog_plans(spark, sf_dir):
+    """No catalog query may plan a global (unpartitioned) WindowExec —
+    the one-task collapse shape.  q13 (grand-total percentage) and q50
+    (running sum) are the historical offenders; both now use
+    cross-join-of-one-agg / two-pass layouts.  Keyed windows
+    (partitionBy(...)) are fine and excluded by checking the window
+    spec's partition clause."""
+    from fide_crawler_spark.plans import formatted_plan
+
+    # q13/q50 must have NO window at all (cross-join-of-one-agg /
+    # mapInPandas two-pass replace it); q9's window must be keyed —
+    # an unpartitioned one would plan Exchange SinglePartition
+    for name in ("q13_value_counts_normalized", "q50_shard_packing"):
+        plan = formatted_plan(QUERIES[name](spark, sf_dir))
+        assert "Window" not in plan, (name, plan[:2000])
+    plan9 = formatted_plan(QUERIES["q9_window_dedup_keepfirst"](spark, sf_dir))
+    assert "Window" in plan9 and "SinglePartition" not in plan9
+
+
 def test_range_join_avoids_nested_loop(spark, sf_dir):
     """q49's binned range join must plan as a hash/merge equi-join on
     the bin key — never BroadcastNestedLoopJoin (the plan a raw

@@ -64,6 +64,39 @@ def test_priority_crawl_order_matches_oracle(spark, tmp_path, budget):
     assert idx212 < idx211  # recrawl_age desc within host b
 
 
+def test_with_priority_rank_matches_window_form_without_window_exec(spark):
+    """The public priority-queue API must produce window-identical
+    ranks WITHOUT planning an unpartitioned WindowExec (one-task
+    collapse at frontier scale) — it delegates to the two-pass
+    grouped_rank."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from fide_crawler_spark.operators.frontier import (
+        priority_order,
+        with_priority_rank,
+    )
+
+    rows = _varied_rows()
+    df = spark.createDataFrame(rows).repartition(5)
+    caches: list = []
+    got = with_priority_rank(df, caches=caches)
+    try:
+        got_ranks = {r["url"]: r["rank"] for r in got.collect()}
+        plan = got._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for c in caches:
+            c.unpersist()
+    expect = {
+        r["url"]: r["rank"]
+        for r in df.withColumn(
+            "rank", F.row_number().over(Window.orderBy(*priority_order()))
+        ).collect()
+    }
+    assert got_ranks == expect
+    assert "Window" not in plan, plan
+
+
 def test_canonicalize_profile_urls(spark):
     """B10 admission filter + H1 canonicalization
     (data_fetching_processing.py:64-68)."""

@@ -23,3 +23,17 @@ def test_rows_only_queries_execute(spark, sf_dir, name):
     r1 = sorted(map(str, df1.collect()))
     r2 = sorted(map(str, df2.collect()))
     assert r1 == r2, f"{name} nondeterministic"
+
+
+def test_q44_dataframe_twin_equals_sql_api(spark, sf_dir):
+    """q44's spark.sql result alone only proves the two engines agree
+    on one ANSI string; the operator evidence is that the DataFrame API
+    builds the same result."""
+    from fide_crawler_spark.queries import q44_dataframe_twin
+
+    sql_rows = sorted(map(tuple, QUERIES["q44_sql_api"](spark, sf_dir).collect()))
+    df_rows = sorted(map(tuple, q44_dataframe_twin(spark, sf_dir).collect()))
+    assert sql_rows == df_rows
+    assert QUERIES["q44_sql_api"](spark, sf_dir).columns == q44_dataframe_twin(
+        spark, sf_dir
+    ).columns

@@ -109,3 +109,18 @@ def test_pack_shards_null_tokens_count_as_zero(spark):
     exp = {r["doc_id"]: r["shard_id"]
            for r in pack_shards_window(docs, "n_tokens", 150, order).collect()}
     assert got == exp == {0: 0, 1: 0, 2: 0}
+
+
+def test_pack_shards_rejects_fractional_token_type(spark):
+    """Both passes accumulate int64; a DOUBLE token column would be
+    silently truncated (diverging from the window form) — must raise."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from fide_crawler_spark.operators.shards import pack_shards
+
+    docs = spark.createDataFrame(
+        [(0, 10.5), (1, 20.25)], "doc_id long, n_tokens double"
+    )
+    with pytest.raises(TypeError, match="integral"):
+        pack_shards(docs, "n_tokens", 100, [F.col("doc_id").asc()])
