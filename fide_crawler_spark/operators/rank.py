@@ -231,28 +231,46 @@ def dequeue_rank(
         .persist()
     )
     try:
-        survivors_per_pid = {
-            int(r["pid"]): int(r["s"])
-            for r in pref.groupBy("pid").agg(F.sum("survive").alias("s")).collect()
-        }
-        # offsets matter only for OVER-BUDGET hosts: if a host's total
-        # ≤ budget, every row survives regardless of offset (off + pos
-        # < total ≤ budget), so under-budget hosts spanning several
-        # partitions must NOT reach the driver — without the tot filter
-        # the collect is O(hosts × partitions) again in the
-        # many-light-hosts regime this redesign exists for
-        host_off = {
-            (int(r["pid"]), r["gkey"]): int(r["off"])
-            for r in pref.filter(
-                (F.col("off") > 0) & (F.col("off") < budget)
-                & (F.col("tot") > budget)
-            ).select("pid", "gkey", "off").collect()
-        }
-        dead_from = {
-            r["gkey"]: int(r["pid"])
-            for r in pref.filter(F.col("off") >= budget)
-            .groupBy("gkey").agg(F.min("pid").alias("pid")).collect()
-        }
+        # the three driver-bound summaries ship as ONE union → ONE
+        # collect job (three separate collects cost a job round-trip
+        # each — measurable per-epoch overhead on many-epoch crawls;
+        # the bounded fan-in arguments below are unchanged):
+        #   kind 0 — per-partition survivor counts (≤ partitions rows)
+        #   kind 1 — host offsets where capping can bite: offsets
+        #            matter only for OVER-BUDGET hosts — if a host's
+        #            total ≤ budget, every row survives regardless of
+        #            offset (off + pos < total ≤ budget), so
+        #            under-budget hosts spanning several partitions
+        #            must NOT reach the driver (without the tot filter
+        #            this is O(hosts × partitions) again in the
+        #            many-light-hosts regime this redesign exists for)
+        #   kind 2 — one dead_from partition id per over-budget host
+        surv = (
+            pref.groupBy("pid").agg(F.sum("survive").alias("v"))
+            .select(F.lit(0).alias("kind"), "pid",
+                    F.lit(None).cast("string").alias("gkey"), "v")
+        )
+        offs = pref.filter(
+            (F.col("off") > 0) & (F.col("off") < budget)
+            & (F.col("tot") > budget)
+        ).select(F.lit(1).alias("kind"), "pid", "gkey",
+                 F.col("off").alias("v"))
+        dead = (
+            pref.filter(F.col("off") >= budget)
+            .groupBy("gkey").agg(F.min("pid").alias("pid"))
+            .select(F.lit(2).alias("kind"), "pid", "gkey",
+                    F.lit(0).cast("long").alias("v"))
+        )
+        survivors_per_pid: dict[int, int] = {}
+        host_off: dict[tuple[int, str], int] = {}
+        dead_from: dict[str, int] = {}
+        for r in surv.unionByName(offs).unionByName(dead).collect():
+            if r["kind"] == 0:
+                survivors_per_pid[int(r["pid"])] = int(r["v"])
+            elif r["kind"] == 1:
+                host_off[(int(r["pid"]), r["gkey"])] = int(r["v"])
+            else:
+                dead_from[r["gkey"]] = int(r["pid"])
     finally:
         pref.unpersist()
 

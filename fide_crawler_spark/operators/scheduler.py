@@ -25,6 +25,9 @@ simpler, and snapshot commits give exactly-once semantics for free.
 from __future__ import annotations
 
 import os
+import sys
+import time
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -43,6 +46,22 @@ from fide_crawler_spark.sources.snapshot import SnapshotTable
 
 BLOOM_STATE = "urlseen-bloom.bin"
 CUCKOO_STATE = "urlseen-cuckoo.bin"
+
+# SPARK_GRAFT_EPOCH_PROFILE=1 → per-phase wall times on stderr, one
+# line per epoch (the attribution tool for per-epoch fixed overhead —
+# at bench scale the fetch work is seconds, so regressions live in
+# the commit/dequeue bookkeeping, not the pipeline).
+_PROFILE = bool(os.environ.get("SPARK_GRAFT_EPOCH_PROFILE"))
+
+
+@contextmanager
+def _phase(acc: dict | None, name: str):
+    if acc is None:
+        yield
+        return
+    t0 = time.time()
+    yield
+    acc[name] = acc.get(name, 0.0) + round(time.time() - t0, 3)
 
 
 class CrawlJob:
@@ -149,6 +168,8 @@ class CrawlJob:
     # -- one epoch -----------------------------------------------------------
     def run_epoch(self) -> dict:
         spark = self.spark
+        prof: dict | None = {} if _PROFILE else None
+        t_epoch = time.time()
         e = self.epoch() + 1
         frontier = self.frontier_tbl.read(spark)
         pending = frontier.filter(F.col("status") == "pending")
@@ -172,20 +193,27 @@ class CrawlJob:
         # sized cache per epoch otherwise).
         _caches: list = []
         _stats: dict = {}
-        batch = dequeue_rank(
-            candidates, "host", priority_order(), self.budget, "rank",
-            caches=_caches, stats_out=_stats,
-        ).persist()
+        with _phase(prof, "dequeue"):
+            batch = dequeue_rank(
+                candidates, "host", priority_order(), self.budget, "rank",
+                caches=_caches, stats_out=_stats,
+            ).persist()
         _caches.append(batch)
         try:
             return self._run_epoch_body(
-                spark, e, m, frontier, bloom, batch, _stats["n_survivors"]
+                spark, e, m, frontier, bloom, batch, _stats["n_survivors"],
+                prof,
             )
         finally:
             for c in _caches:
                 c.unpersist()
+            if prof is not None:
+                prof["epoch_total"] = round(time.time() - t_epoch, 3)
+                print(f"[epoch-profile] e={e} {prof}", file=sys.stderr)
 
-    def _run_epoch_body(self, spark, e, m, frontier, bloom, batch, n_batch) -> dict:
+    def _run_epoch_body(
+        self, spark, e, m, frontier, bloom, batch, n_batch, prof=None
+    ) -> dict:
         # n_batch comes from the dequeue's own pass-1 statistics — no
         # extra count() job; the batch cache materializes lazily inside
         # the fetch stage's first action.
@@ -233,7 +261,10 @@ class CrawlJob:
             n = sum(x["docs"] for x in lineage)
             return {"epoch": e, "docs": n}, lineage
 
-        docs_snap = self.docs_tbl.commit(docs_ok, mode="append", finalize=finalize)
+        with _phase(prof, "fetch_parse_commit"):
+            docs_snap = self.docs_tbl.commit(
+                docs_ok, mode="append", finalize=finalize
+            )
         docs_manifest = self.docs_tbl.manifest(docs_snap)
         n_fetched = int(docs_manifest["metrics"]["docs"])
         n_failed = n_batch - n_fetched
@@ -260,9 +291,10 @@ class CrawlJob:
         # files carry forward by manifest reference, not by re-write.
         # The touched-value collect is metadata-scale (≤ distinct
         # periods in one politeness-bounded batch).
-        touched = [
-            r["period"] for r in batch.select("period").distinct().collect()
-        ]
+        with _phase(prof, "touched_collect"):
+            touched = [
+                r["period"] for r in batch.select("period").distinct().collect()
+            ]
         new_frontier = (
             frontier.filter(F.col("period").isin(touched))
             .join(outcome, "url", "left")
@@ -286,11 +318,12 @@ class CrawlJob:
 
         # Bloom maintenance: distributed partial build over this epoch's
         # fetched hashes (from the committed files), OR-merged
-        epoch_bloom = build_bloom(
-            fetched_keys.select(F.xxhash64("url").alias("url_hash")),
-            "url_hash", self.bloom_parts, self.bloom_bits,
-        )
-        bloom.merge(epoch_bloom)
+        with _phase(prof, "bloom_build"):
+            epoch_bloom = build_bloom(
+                fetched_keys.select(F.xxhash64("url").alias("url_hash")),
+                "url_hash", self.bloom_parts, self.bloom_bits,
+            )
+            bloom.merge(epoch_bloom)
 
         state = {BLOOM_STATE: bloom.to_bytes()}
         if self.enable_cuckoo:
@@ -312,28 +345,30 @@ class CrawlJob:
                 .select("url_hash")
                 .unionByName(epoch_hashes)
             )
-            ck = update_cuckoo(spark, epoch_hashes, all_fetched, ck)
+            with _phase(prof, "cuckoo_update"):
+                ck = update_cuckoo(spark, epoch_hashes, all_fetched, ck)
             state[CUCKOO_STATE] = ck.to_bytes()
 
         # pending after this epoch = previous pending − fetched (failed
         # rows stay pending); derived from metrics to save a recompute
         n_pending = self.pending_count() - n_fetched
-        self.frontier_tbl.commit_partition_overwrite(
-            new_frontier,
-            "period",
-            touched_values=touched,
-            metrics={
-                "epoch": e,
-                "dequeued": n_batch,
-                "fetched": n_fetched,
-                "failed": n_failed,
-                "pending": n_pending,
-                "total": int(m.get("total", -1)),
-                "blocked": int(m.get("blocked", 0)),
-            },
-            state=state,
-            lineage=lineage,
-        )
+        with _phase(prof, "frontier_commit"):
+            self.frontier_tbl.commit_partition_overwrite(
+                new_frontier,
+                "period",
+                touched_values=touched,
+                metrics={
+                    "epoch": e,
+                    "dequeued": n_batch,
+                    "fetched": n_fetched,
+                    "failed": n_failed,
+                    "pending": n_pending,
+                    "total": int(m.get("total", -1)),
+                    "blocked": int(m.get("blocked", 0)),
+                },
+                state=state,
+                lineage=lineage,
+            )
         return {
             "epoch": e,
             "dequeued": n_batch,
