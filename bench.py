@@ -144,6 +144,39 @@ def crawl_run(cores: int, pin: bool = True) -> dict:
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
+def host_ceiling(n_small: int = 2, n_big: int = 8, repeats: int = 3) -> dict:
+    """Same-day hardware baseline for the N→4N pair: the pinned
+    pure-CPU (Spark-free) throughput ratio, best-of-``repeats`` per
+    level.  The engine cannot scale better than the host; on this VM
+    the ratio moves day to day with hypervisor steal, so the engine's
+    raw efficiency only means something next to the ceiling measured
+    in the same session (see BENCH/BASELINE.md round-3 postmortem)."""
+    import subprocess
+
+    script = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "jobs", "cpu_ceiling.py"
+    )
+
+    def best(cores: int) -> float:
+        secs = []
+        for _ in range(repeats):
+            out = subprocess.run(
+                [sys.executable, script, "--cores", str(cores)],
+                capture_output=True, text=True, check=True,
+            )
+            secs.append(json.loads(out.stdout.strip().splitlines()[-1])["sec"])
+        return min(secs)
+
+    t_small, t_big = best(n_small), best(n_big)
+    ratio = t_small / t_big
+    return {
+        "host_cpu_sec_n2": t_small,
+        "host_cpu_sec_n8": t_big,
+        "host_cpu_ratio_n_to_4n": round(ratio, 3),
+        "host_cpu_efficiency": round(ratio / (n_big / n_small), 3),
+    }
+
+
 def crawl_run_best(cores: int, n: int) -> dict:
     """Best (min sec) of ``n`` pinned repeats.  All repeats must agree
     on the output checksum — the repeats prove capability, the
@@ -171,9 +204,11 @@ def main() -> None:
     if deep:
         result["deep"] = {**deep, "total": round(sum(deep.values()), 3)}
     if not os.environ.get("BENCH_SKIP_CRAWL"):
+        ceiling = host_ceiling()
         r2 = crawl_run_best(2, BEST_OF)
         r8 = crawl_run_best(8, BEST_OF)
         r32 = crawl_run(32, pin=False)
+        eff_raw = round((r2["sec"] / r8["sec"]) / 4.0, 3)
         result["crawl"] = {
             "urls": r2["urls"],
             "page_weight": PAGE_WEIGHT,
@@ -187,8 +222,15 @@ def main() -> None:
             "urls_per_sec_n2": round(r2["urls"] / r2["sec"], 1),
             "urls_per_sec_n8": round(r8["urls"] / r8["sec"], 1),
             "urls_per_sec_full_machine": r32["urls_per_sec"],
-            "scaling_efficiency_n_to_4n": round(
-                (r2["sec"] / r8["sec"]) / 4.0, 3
+            "scaling_efficiency_n_to_4n": eff_raw,
+            **ceiling,
+            # the engine's N→4N ratio as a fraction of what the SAME
+            # pinned cores deliver for Spark-free pure-CPU work in the
+            # same session — the hardware-honest scaling number on a
+            # shared VM (1.0 = the engine scales exactly as well as
+            # the host itself can)
+            "efficiency_vs_host_ceiling": round(
+                (r2["sec"] / r8["sec"]) / ceiling["host_cpu_ratio_n_to_4n"], 3
             ),
             "output_identical": len(
                 {r2["checksum"], r8["checksum"], r32["checksum"]}

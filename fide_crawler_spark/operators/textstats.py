@@ -91,6 +91,54 @@ def langid(docs: DataFrame) -> DataFrame:
     )
 
 
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Gopher-style repetition signals at word granularity: the
+    duplicate-token fraction (1 − distinct/total) and the share of the
+    single most frequent token.  High values mark boilerplate/spam for
+    the curation filter.  Plan: one explode → two-level grouped
+    aggregate (partial map-side combine at both levels, no window —
+    the per-doc "mode" is max-of-counts, not a rank)."""
+    ex = docs.select("doc_id", F.explode(tokens_col()).alias("tok"))
+    counts = ex.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    r4 = lambda c: F.floor(c * 10000 + F.lit(0.5)) / 10000  # noqa: E731
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("c").alias("__top"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            r4(
+                F.lit(1.0)
+                - F.col("n_distinct").cast("double") / F.col("n_tokens")
+            ).alias("dup_token_frac"),
+            r4(F.col("__top").cast("double") / F.col("n_tokens")).alias(
+                "top_token_share"
+            ),
+        )
+    )
+
+
+def corpus_ngram_topk(docs: DataFrame, n: int = 2, k: int = 20) -> DataFrame:
+    """Corpus-level top-k word n-grams — the vocabulary/BPE-prep sweep.
+    Counts DOC FREQUENCY (shingles_col dedups within a doc).  Classic
+    word-count shape: explode → partial-combined count → one shuffle on
+    the gram → TakeOrderedAndProject (no global sort).  Ties broken by
+    the gram itself so the top-k is total-ordered."""
+    from fide_crawler_spark.operators.dedup import shingles_col
+
+    grams = docs.select(F.explode(shingles_col(n=n)).alias("gram"))
+    return (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), F.asc("gram"))
+        .limit(k)
+    )
+
+
 def fingerprint(docs: DataFrame) -> DataFrame:
     """Document fingerprinting: position-weighted rolling token-code sum
     mod 2^31-1 (Karp-Rabin family).  Token code = 31*len + first-char

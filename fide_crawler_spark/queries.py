@@ -1769,3 +1769,98 @@ def q51_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("stratified").alias("method"), "doc_id", "source"
     )
     return rate.unionByName(strat).orderBy("method", "source", "doc_id")
+
+
+# --------------------------------------------------------------------------
+# Decontamination + repetition quality + vocabulary sweep (beyond the
+# reference): the remaining standard steps of a training-data pipeline.
+# --------------------------------------------------------------------------
+from fide_crawler_spark.operators import decontam as DC  # noqa: E402
+from fide_crawler_spark.operators import textstats as TS  # noqa: E402
+
+
+@query(
+    "q52_decontamination",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(l) - 2, 1)),
+               i -> array_to_string(list_slice(l, i, i + 2), ' ')))) AS gram
+      FROM toks
+    ),
+    bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 37 = 0),
+    hits AS (
+      SELECT g.doc_id, COUNT(*) AS n_shared
+      FROM grams g JOIN bench USING (gram)
+      WHERE g.doc_id % 37 <> 0 GROUP BY g.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(h.n_shared, 0) AS BIGINT) AS n_shared,
+           COALESCE(h.n_shared, 0) >= 1 AS contaminated
+    FROM documents d LEFT JOIN hits h USING (doc_id)
+    WHERE d.doc_id % 37 <> 0
+    ORDER BY d.doc_id
+    """,
+)
+def q52_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/decontam.py): every 37th
+    doc plays the eval set; training docs are flagged by shared word
+    3-grams.  String-keyed here so the oracle replays it exactly; the
+    production default joins on xxhash64(gram)."""
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 37 == 0)
+    train = docs.filter(F.col("doc_id") % 37 != 0)
+    return DC.contamination_flags(
+        train, bench, n=3, min_overlap=1, hash_grams=False
+    ).orderBy("doc_id")
+
+
+@query(
+    "q53_repetition_quality",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    counts AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok),
+    per AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct,
+             CAST(MAX(c) AS BIGINT) AS top
+      FROM counts GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens,
+           FLOOR((1.0 - n_distinct::DOUBLE / n_tokens) * 10000 + 0.5) / 10000
+             AS dup_token_frac,
+           FLOOR((top::DOUBLE / n_tokens) * 10000 + 0.5) / 10000
+             AS top_token_share
+    FROM per ORDER BY doc_id
+    """,
+)
+def q53_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (textstats.repetition_stats):
+    duplicate-token fraction + top-token share per doc."""
+    return TS.repetition_stats(load(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+@query(
+    "q54_corpus_ngram_topk",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(l) - 1, 1)),
+               i -> array_to_string(list_slice(l, i, i + 1), ' ')))) AS gram
+      FROM toks
+    )
+    SELECT gram, CAST(COUNT(*) AS BIGINT) AS doc_freq
+    FROM grams GROUP BY gram
+    ORDER BY doc_freq DESC, gram LIMIT 20
+    """,
+)
+def q54_corpus_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary sweep (textstats.corpus_ngram_topk): top-20
+    word 2-grams by doc frequency — word-count plan, no global sort."""
+    return TS.corpus_ngram_topk(load(spark, sf_dir, "documents"), n=2, k=20)

@@ -63,6 +63,17 @@ def main() -> None:
             bloom_bits_per_part=1 << 23,
         )
         job.init(frontier)
+        # warm cluster-lifetime state before the clock starts (same
+        # rationale as bench.py's query warmup): the Arrow python
+        # worker pool, whole-stage codegen, and the parquet committer
+        # are per-session costs a long-lived cluster amortizes — and
+        # they are core-count-asymmetric (the 4N run pays to spawn 4×
+        # the workers inside its measured window otherwise, biasing
+        # the scaling ratio it exists to measure)
+        spark.range(64).repartition(args.cores).mapInPandas(
+            lambda it: it, schema="id long"
+        ).write.mode("overwrite").parquet(os.path.join(wd, "_warm"))
+        spark.read.parquet(os.path.join(wd, "_warm")).collect()
         t0 = time.time()
         epoch_stats = job.run()
         dt = time.time() - t0

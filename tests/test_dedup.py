@@ -332,6 +332,36 @@ def test_embedding_lsh_pairs_subset_of_exact(spark):
     assert len(lsh) >= len(exact) * 0.6  # recall floor at 6 planes
 
 
+def test_decontamination_planted(spark):
+    """A training doc embedding a benchmark item's text verbatim must
+    flag contaminated; unrelated docs must not.  The hashed and
+    string-keyed joins agree."""
+    from fide_crawler_spark.operators.decontam import contamination_flags
+
+    bench = spark.createDataFrame(
+        [(0, "what is the capital of france paris obviously")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "intro text what is the capital of france paris obviously end"),
+            (2, "completely unrelated tokens about spark shuffles and joins"),
+            (3, "the capital of france is a common phrase fragment"),
+        ],
+        "doc_id long, text string",
+    )
+    for hashed in (True, False):
+        got = {
+            r["doc_id"]: (r["n_shared"], r["contaminated"])
+            for r in contamination_flags(
+                train, bench, n=8, min_overlap=1, hash_grams=hashed
+            ).collect()
+        }
+        assert got[1][1] is True and got[1][0] >= 1
+        assert got[2] == (0, False)
+        assert got[3] == (0, False)  # shares words but no 8-gram
+
+
 def test_ann_ivf_recall_gate_multi_seed(spark):
     """IVF recall gate (pinned): across 3 query seeds, recall@10 vs the
     exact cosine_topk must stay ≥ 0.5 — a broken cell router (wrong
