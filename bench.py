@@ -73,6 +73,7 @@ HEADLINE = [
     "q45_player_profiles",
     "q48_asof_join",
     "q50_shard_packing",
+    "q52_decontamination",   # broadcast benchmark semi-join (new r3)
 ]
 
 # deep tier: the heavy dedup family at sf0.1 — slower, but regressions

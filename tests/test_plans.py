@@ -133,3 +133,12 @@ def test_bucketed_urlseen_join_has_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         spark.sql("DROP TABLE IF EXISTS frontier_bkt")
         spark.sql("DROP TABLE IF EXISTS seen_bkt")
+
+
+def test_decontam_benchmark_is_broadcast(spark, sf_dir):
+    """q52's semi-join must broadcast the (small) benchmark shingle
+    set — the corpus side never shuffles its grams."""
+    from fide_crawler_spark.plans import formatted_plan
+
+    plan = formatted_plan(QUERIES["q52_decontamination"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan[:1500]
