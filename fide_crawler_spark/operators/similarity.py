@@ -74,30 +74,61 @@ def kmeans_cells(
     seed: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    lloyd_iters: int = 2,
 ) -> tuple[DataFrame, np.ndarray]:
-    """One-shot IVF cell assignment: centroids = seeded sample of the
-    table (k-means|| degenerate single round — adequate for routing),
-    assignment via a vectorized argmax in pandas (numpy matmul)."""
+    """IVF cell assignment: seeded-sample centroids refined by
+    ``lloyd_iters`` distributed k-means rounds (spherical — centroids
+    renormalized each round), then a final vectorized argmax
+    assignment.
+
+    The refinement is pure JVM aggregation: ``posexplode(vec)`` →
+    ``groupBy(cell, dim).avg`` — one shuffle of (n_cells × dim) partial
+    sums per round, and only the (n_cells × dim) mean table ever
+    reaches the driver.  No per-cell applyInPandas (a hot cell would be
+    one task); the mean is computed dimension-wise so it streams."""
     sample = emb.select(vec_col).orderBy(F.xxhash64(id_col)).limit(n_cells).collect()
     centroids = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in sample])
-    cnorm = np.linalg.norm(centroids, axis=1, keepdims=True)
-    cnorm[cnorm == 0] = 1.0
-    cunit = centroids / cnorm
 
-    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            mn = np.linalg.norm(m, axis=1, keepdims=True)
-            mn[mn == 0] = 1.0
-            cell = ((m / mn) @ cunit.T).argmax(axis=1)
-            out = pdf[[id_col, vec_col]].copy()
-            out["cell"] = cell.astype(np.int32)
-            yield out
+    def unit(m: np.ndarray) -> np.ndarray:
+        n = np.linalg.norm(m, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        return m / n
+
+    cunit = unit(centroids)
+
+    def assigner(cu: np.ndarray):
+        def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                cell = (unit(m) @ cu.T).argmax(axis=1)
+                out = pdf[[id_col, vec_col]].copy()
+                out["cell"] = cell.astype(np.int32)
+                yield out
+        return assign
+
+    schema = f"{id_col} bigint, {vec_col} array<float>, cell int"
+    for _ in range(max(0, lloyd_iters)):
+        assigned = emb.select(id_col, vec_col).mapInPandas(
+            assigner(cunit), schema=schema
+        )
+        means = (
+            assigned.select("cell", F.posexplode(vec_col).alias("dim", "x"))
+            .groupBy("cell", "dim")
+            .agg(F.avg("x").alias("mu"))
+            .collect()
+        )
+        new = cunit.copy()  # cells that lost every vector keep their centroid
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cell.setdefault(int(r["cell"]), {})[int(r["dim"])] = float(r["mu"])
+        for c, dims in by_cell.items():
+            new[c] = [dims[d] for d in range(len(dims))]
+        cunit = unit(new)
 
     assigned = emb.select(id_col, vec_col).mapInPandas(
-        assign, schema=f"{id_col} bigint, {vec_col} array<float>, cell int"
+        assigner(cunit), schema=schema
     )
     return assigned, cunit
 
@@ -111,12 +142,15 @@ def ann_topk_ivf(
     seed: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    lloyd_iters: int = 2,
 ) -> DataFrame:
     """IVF ANN: score only vectors in the n_probe cells nearest the
     query.  At cluster scale ``assigned`` is a materialized table
     partitioned by cell → partition pruning makes the probe a
     fractional scan."""
-    assigned, cunit = kmeans_cells(emb, n_cells, seed, id_col, vec_col)
+    assigned, cunit = kmeans_cells(
+        emb, n_cells, seed, id_col, vec_col, lloyd_iters=lloyd_iters
+    )
     q = np.asarray(query_vec, dtype=np.float64)
     qn = np.linalg.norm(q) or 1.0
     probe_cells = np.argsort(-(cunit @ (q / qn)))[:n_probe].tolist()
