@@ -6,9 +6,11 @@ matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
 order-insensitive value-hash → CORRECTNESS_r{N}.json).
 
 Implementation lives in ``fide_crawler_spark/`` (see SURVEY.md §2 for
-the operator inventory each query exercises).  Entries without an
-oracle_sql are non-SQL-expressible pipelines (the crawl scheduler and
-hash-family dedup ops) checked by the pytest sequential oracle instead.
+the operator inventory each query exercises).  The hash-family dedup
+entries are oracled via the md5h bridge (dedup.md5h — bit-identical in
+DuckDB).  The 3 entries without an oracle_sql are genuinely
+non-SQL-expressible (the crawl pipeline, approximate IVF ANN, seed
+search) and are checked by pytest sequential/planted/recall oracles.
 """
 
 from __future__ import annotations
