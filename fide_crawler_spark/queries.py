@@ -1864,3 +1864,130 @@ def q54_corpus_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary sweep (textstats.corpus_ngram_topk): top-20
     word 2-grams by doc frequency — word-count plan, no global sort."""
     return TS.corpus_ngram_topk(load(spark, sf_dir, "documents"), n=2, k=20)
+
+
+from fide_crawler_spark.operators import cluster as CL  # noqa: E402
+from fide_crawler_spark.operators import pii as PI  # noqa: E402
+
+
+@query(
+    "q55_dup_clusters",
+    """
+    WITH RECURSIVE sh AS (
+      SELECT doc_id AS doc,
+             list_distinct(list_transform(
+               generate_series(1, GREATEST(len(string_split(text,' ')) - 2, 1)),
+               i -> array_to_string(list_slice(string_split(text,' '), i, i + 2), ' ')
+             )) AS grams
+      FROM documents
+    ),
+    flat AS (SELECT doc, len(grams) AS n_sh, UNNEST(grams) AS shingle FROM sh),
+    rawp AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b, a.n_sh AS na, b.n_sh AS nb,
+             COUNT(*) AS inter
+      FROM flat a JOIN flat b ON a.shingle = b.shingle AND a.doc < b.doc
+      GROUP BY 1, 2, 3, 4
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b FROM rawp
+      WHERE FLOOR(CAST(inter AS DOUBLE)/(na+nb-inter)*10000+0.5)/10000 >= 0.05
+    ),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(u, lbl) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.u
+    ),
+    comp AS (SELECT u AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY u)
+    SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+    FROM documents d LEFT JOIN comp c USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+)
+def q55_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive duplicate clustering (operators/cluster.py): n-gram
+    Jaccard candidate pairs -> alternating large-star/small-star
+    connected components; every doc labelled with its component's min
+    doc_id.  The oracle replays the closure with a recursive CTE."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, n=3, threshold=0.05)
+    return (
+        CL.dup_clusters(docs, pairs)
+        .select("doc_id", "cluster_id")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q56_pii_scrub",
+    r"""
+    WITH planted AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 3 = 0
+                THEN ' reach me at user' || doc_id || '@mail.example.org'
+                ELSE '' END
+             || CASE WHEN doc_id % 4 = 0
+                THEN ' from 10.2.' || (doc_id % 256) || '.7' ELSE '' END
+             || CASE WHEN doc_id % 5 = 0
+                THEN ' acct 90210' || (doc_id + 1000000) ELSE '' END
+             AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}')) AS INT)
+             AS n_email,
+           CAST(len(regexp_extract_all(text,
+             '\b\d{1,3}(\.\d{1,3}){3}\b')) AS INT) AS n_ipv4,
+           CAST(len(regexp_extract_all(text, '\b\d{9,}\b')) AS INT)
+             AS n_longnum,
+           regexp_replace(regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b\d{1,3}(\.\d{1,3}){3}\b', '<IP>', 'g'),
+             '\b\d{9,}\b', '<NUM>', 'g') AS clean_text
+    FROM planted ORDER BY doc_id
+    """,
+)
+def q56_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (operators/pii.py): email / IPv4 / long-number
+    rules as one codegen'd regexp_replace chain, with audit counts.
+    PII is planted deterministically from doc_id (the corpus itself is
+    synthetic word-salad) with the same expression in both engines, so
+    the redactions the oracle checks are real."""
+    docs = load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % 3 == 0,
+                F.concat(
+                    F.lit(" reach me at user"),
+                    did.cast("string"),
+                    F.lit("@mail.example.org"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 4 == 0,
+                F.concat(
+                    F.lit(" from 10.2."),
+                    (did % 256).cast("string"),
+                    F.lit(".7"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 5 == 0,
+                F.concat(F.lit(" acct 90210"), (did + 1000000).cast("string")),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return (
+        PI.scrub(planted)
+        .select("doc_id", "n_email", "n_ipv4", "n_longnum", "clean_text")
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,102 @@
+"""connected_components / dup_clusters vs a pure-Python union-find
+oracle — including the transitive chains pairwise dedup gets wrong."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fide_crawler_spark.operators import cluster as CL
+
+
+def _uf_components(pairs: list[tuple[int, int]]) -> dict[int, int]:
+    """Min-label components by plain union-find (the oracle)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = {n for p in pairs for n in p}
+    return {n: find(n) for n in nodes}
+
+
+def _run(spark, pairs: list[tuple[int, int]]) -> dict[int, int]:
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    out = CL.connected_components(df).collect()
+    return {r["node"]: r["component"] for r in out}
+
+
+def test_transitive_chain(spark):
+    # A~B, B~C, C~D: one class of 4 — the case pairwise-domination
+    # dedup miscounts (it would keep A and C if only adjacent pairs
+    # verify).  Chain is also the slowest-converging shape.
+    chain = [(i, i + 1) for i in range(10, 14)]
+    got = _run(spark, chain)
+    assert got == {n: 10 for n in range(10, 15)}
+
+
+def test_matches_union_find_oracle(spark):
+    # deterministic pseudo-random graph: 400 nodes, modular edges make
+    # chains, stars and isolated pairs in one soup
+    pairs = [((i * 37) % 400, (i * 91 + 13) % 400) for i in range(260)]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    assert _run(spark, pairs) == _uf_components(pairs)
+
+
+def test_reversed_and_duplicate_edges(spark):
+    got = _run(spark, [(5, 2), (2, 5), (2, 9), (9, 5), (7, 8)])
+    assert got == {2: 2, 5: 2, 9: 2, 7: 7, 8: 7}
+
+
+def test_self_loops_ignored(spark):
+    got = _run(spark, [(3, 3), (3, 4)])
+    assert got == {3: 3, 4: 3}
+
+
+def test_dup_clusters_and_survivors(spark):
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(8)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (5, 6)], "doc_a long, doc_b long"
+    )
+    lab = {
+        r["doc_id"]: r["cluster_id"]
+        for r in CL.dup_clusters(docs, pairs).collect()
+    }
+    assert lab == {0: 0, 1: 0, 2: 0, 3: 3, 4: 4, 5: 5, 6: 5, 7: 7}
+    surv = sorted(
+        r["doc_id"] for r in CL.cluster_survivors(docs, pairs).collect()
+    )
+    assert surv == [0, 3, 4, 5, 7]
+
+
+def test_string_keys(spark):
+    df = spark.createDataFrame(
+        [("b", "c"), ("a", "b")], "doc_a string, doc_b string"
+    )
+    got = {r["node"]: r["component"] for r in CL.connected_components(df).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a"}
+
+
+def test_no_cartesian_or_collect_list_in_plan(spark):
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    plan = CL._small_star(CL._large_star(df))._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "collect_list" not in plan
+
+
+def test_empty_pairs(spark):
+    df = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert CL.connected_components(df).count() == 0
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    lab = CL.dup_clusters(docs, df).collect()
+    assert lab[0]["cluster_id"] == 1
