@@ -1991,3 +1991,60 @@ def q56_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_email", "n_ipv4", "n_longnum", "clean_text")
         .orderBy("doc_id")
     )
+
+
+from fide_crawler_spark.operators import search as SE  # noqa: E402
+
+
+@query(
+    "q57_bm25_search",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+      FROM documents
+    ),
+    lengths AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS dl
+      FROM documents
+    ),
+    consts AS (
+      SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM lengths
+    ),
+    postings AS (
+      SELECT term, doc_id, COUNT(*) AS tf FROM toks
+      WHERE term IN ('vector', 'hash', 'join')
+      GROUP BY term, doc_id
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM postings GROUP BY term),
+    parts AS (
+      SELECT p.doc_id,
+             CAST(FLOOR(
+               ln(1.0 + (CAST(c.n_docs AS DOUBLE) - CAST(f.df AS DOUBLE)
+                         + 0.5) / (CAST(f.df AS DOUBLE) + 0.5))
+               * ((CAST(p.tf AS DOUBLE) * 2.2)
+                  / (CAST(p.tf AS DOUBLE)
+                     + 1.2 * (1.0 - 0.75
+                              + 0.75 * CAST(l.dl AS DOUBLE)
+                                / (CAST(c.sum_dl AS DOUBLE)
+                                   / CAST(c.n_docs AS DOUBLE)))))
+               * 1000000 + 0.5) AS BIGINT) AS part
+      FROM postings p
+      JOIN dfreq f USING (term)
+      JOIN lengths l USING (doc_id)
+      CROSS JOIN consts c
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS INT) AS n_hits,
+           FLOOR(CAST(SUM(part) AS DOUBLE) / 100 + 0.5) / 10000 AS score
+    FROM parts
+    GROUP BY doc_id
+    ORDER BY score DESC, n_hits DESC, doc_id ASC
+    LIMIT 10
+    """,
+)
+def q57_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical top-k (operators/search.py): BM25 over the inverted
+    index for the query "vector hash join".  Per-(doc,term) partials
+    are 1e-6-scaled BIGINTs so the per-doc sum is integer-exact and
+    order-independent; the oracle replays the identical FP op order."""
+    return SE.bm25_topk(load(spark, sf_dir, "documents"), "vector hash join", k=10)
