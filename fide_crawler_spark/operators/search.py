@@ -33,7 +33,7 @@ extends the text family per the training-data mandate.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from fide_crawler_spark.operators.textstats import tokens_col
@@ -130,5 +130,68 @@ def bm25_topk(
             ).alias("score"),
         )
         .orderBy(F.desc("score"), F.desc("n_hits"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+RRF_K0 = 60  # Cormack/Clarke/Buettcher SIGIR'09 constant
+_RRF_SCALE = 1_000_000_000
+
+
+def rrf_fuse(
+    legs: list[tuple[DataFrame, str]],
+    k0: int = RRF_K0,
+    k: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reciprocal-rank fusion of top-n retrieval legs.
+
+    Each leg is ``(top_n_df, score_col)``; the df must already be a
+    top-n (``.limit(n)``) result carrying ``id_col``.  Rank within a
+    leg is row_number over (score desc, id asc).  The window is
+    partitioned by a constant — semantically global, but over a
+    post-LIMIT input that is k-scale by construction, so one partition
+    IS the right plan (and the constant key keeps WindowExec from
+    logging the moving-all-data warning on every task).
+
+    Contributions are ``floor(1e9 / (k0 + rank))`` — integers, so the
+    fused sum is exact and independent of leg/partition order (and of
+    how many legs a doc appears in).  Output: (id, n_legs, rrf_score
+    rounded to 1e-4), top-k by score with id tie-break.
+    """
+    if not legs:
+        raise ValueError("rrf_fuse: no legs")
+    ranked = []
+    for df, score_col in legs:
+        w = Window.partitionBy(F.lit(0)).orderBy(F.desc(score_col), F.asc(id_col))
+        ranked.append(
+            df.select(
+                F.col(id_col),
+                F.floor(
+                    F.lit(float(_RRF_SCALE))
+                    / (F.lit(k0) + F.row_number().over(w)).cast("double")
+                )
+                .cast("bigint")
+                .alias("c"),
+            )
+        )
+    allc = ranked[0]
+    for r in ranked[1:]:
+        allc = allc.unionByName(r)
+    return (
+        allc.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_legs"),
+            F.sum("c").alias("s"),
+        )
+        .select(
+            id_col,
+            "n_legs",
+            (
+                F.floor(F.col("s").cast("double") / (_RRF_SCALE / 10_000) + 0.5)
+                / 10_000
+            ).alias("rrf_score"),
+        )
+        .orderBy(F.desc("rrf_score"), F.asc(id_col))
         .limit(k)
     )

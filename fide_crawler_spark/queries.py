@@ -2048,3 +2048,87 @@ def q57_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     are 1e-6-scaled BIGINTs so the per-doc sum is integer-exact and
     order-independent; the oracle replays the identical FP op order."""
     return SE.bm25_topk(load(spark, sf_dir, "documents"), "vector hash join", k=10)
+
+
+@query(
+    "q58_hybrid_rrf",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+      FROM documents
+    ),
+    lengths AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS dl
+      FROM documents
+    ),
+    consts AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM lengths),
+    postings AS (
+      SELECT term, doc_id, COUNT(*) AS tf FROM toks
+      WHERE term IN ('vector', 'hash', 'join')
+      GROUP BY term, doc_id
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM postings GROUP BY term),
+    parts AS (
+      SELECT p.doc_id,
+             CAST(FLOOR(
+               ln(1.0 + (CAST(c.n_docs AS DOUBLE) - CAST(f.df AS DOUBLE)
+                         + 0.5) / (CAST(f.df AS DOUBLE) + 0.5))
+               * ((CAST(p.tf AS DOUBLE) * 2.2)
+                  / (CAST(p.tf AS DOUBLE)
+                     + 1.2 * (1.0 - 0.75
+                              + 0.75 * CAST(l.dl AS DOUBLE)
+                                / (CAST(c.sum_dl AS DOUBLE)
+                                   / CAST(c.n_docs AS DOUBLE)))))
+               * 1000000 + 0.5) AS BIGINT) AS part
+      FROM postings p JOIN dfreq f USING (term)
+      JOIN lengths l USING (doc_id) CROSS JOIN consts c
+    ),
+    bm25 AS (
+      SELECT doc_id, COUNT(*) AS n_hits,
+             FLOOR(CAST(SUM(part) AS DOUBLE) / 100 + 0.5) / 10000 AS score
+      FROM parts GROUP BY doc_id
+      ORDER BY score DESC, n_hits DESC, doc_id ASC LIMIT 20
+    ),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    cos AS (
+      SELECT vec_id AS doc_id,
+             FLOOR(
+               list_sum(list_transform(list_zip(embedding, (SELECT qv FROM q)),
+                        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+               / (SQRT(list_sum(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * SQRT((SELECT list_sum(list_transform(qv,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) FROM q)))
+               * 10000 + 0.5) / 10000 AS score
+      FROM embeddings
+      ORDER BY score DESC, doc_id ASC LIMIT 20
+    ),
+    contrib AS (
+      SELECT doc_id, CAST(FLOOR(1000000000.0 / CAST(60 + ROW_NUMBER()
+               OVER (ORDER BY score DESC, doc_id ASC) AS DOUBLE)) AS BIGINT) AS c
+      FROM bm25
+      UNION ALL
+      SELECT doc_id, CAST(FLOOR(1000000000.0 / CAST(60 + ROW_NUMBER()
+               OVER (ORDER BY score DESC, doc_id ASC) AS DOUBLE)) AS BIGINT) AS c
+      FROM cos
+    )
+    SELECT doc_id, CAST(COUNT(*) AS INT) AS n_legs,
+           FLOOR(CAST(SUM(c) AS DOUBLE) / 100000 + 0.5) / 10000 AS rrf_score
+    FROM contrib GROUP BY doc_id
+    ORDER BY rrf_score DESC, doc_id ASC LIMIT 10
+    """,
+)
+def q58_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval (search.rrf_fuse): reciprocal-rank fusion of
+    the BM25 top-20 (query "vector hash join") and the dense cosine
+    top-20 (query = vec_id-0 embedding, vec_id read as doc_id).
+    Integer contributions floor(1e9/(60+rank)) make the fused sum
+    exact; the oracle replays both legs and the fusion in SQL."""
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    bm25 = SE.bm25_topk(docs, "vector hash join", k=20).select("doc_id", "score")
+    dense = SIM.cosine_topk(emb, qv, k=20).select(
+        F.col("vec_id").alias("doc_id"), F.col("cosine").alias("score")
+    )
+    return SE.rrf_fuse([(bm25, "score"), (dense, "score")], k=10)

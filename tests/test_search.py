@@ -100,3 +100,44 @@ def test_topk_plan_takeordered_no_global_sort(spark):
         .toString()
     )
     assert "TakeOrderedAndProject" in plan
+
+
+def test_rrf_fuse_matches_python(spark):
+    docs = _docs(spark)
+    leg1 = SE.bm25_topk(docs, "quick fox", k=4).select("doc_id", "score")
+    leg2 = SE.bm25_topk(docs, "dog", k=4).select("doc_id", "score")
+    got = {
+        r["doc_id"]: (r["n_legs"], r["rrf_score"])
+        for r in SE.rrf_fuse([(leg1, "score"), (leg2, "score")], k=10).collect()
+    }
+
+    def leg_ranks(ref):
+        order = sorted(ref, key=lambda i: (-ref[i][1], i))
+        return {d: r + 1 for r, d in enumerate(order)}
+
+    r1 = leg_ranks(_py_bm25(CORPUS, "quick fox"))
+    r2 = leg_ranks(_py_bm25(CORPUS, "dog"))
+    want = {}
+    for d in set(r1) | set(r2):
+        parts = [
+            math.floor(1_000_000_000 / (60 + rk[d]))
+            for rk in (r1, r2)
+            if d in rk
+        ]
+        want[d] = (len(parts), math.floor(sum(parts) / 100_000 + 0.5) / 10_000)
+    assert got == want
+
+
+def test_rrf_single_leg_is_rank_order(spark):
+    docs = _docs(spark)
+    leg = SE.bm25_topk(docs, "quick fox", k=3).select("doc_id", "score")
+    rows = SE.rrf_fuse([(leg, "score")], k=3).collect()
+    assert [r["doc_id"] for r in rows] == [
+        r["doc_id"] for r in leg.collect()
+    ]
+    assert all(r["n_legs"] == 1 for r in rows)
+
+
+def test_rrf_empty_legs_raises(spark):
+    with pytest.raises(ValueError):
+        SE.rrf_fuse([])
