@@ -62,3 +62,81 @@ def stratified_sample(
         [F.col("__h").asc(), F.col(key_col).asc()], k,
     )
     return out.drop("__h")
+
+
+def mixture_sample(
+    docs: DataFrame,
+    targets: dict[str, float],
+    budget_tokens: int,
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "",
+) -> DataFrame:
+    """Token-budget mixture resampling — the "data mixture" step of a
+    training run: sample each source at the rate that makes its
+    EXPECTED token contribution ``targets[source] × budget_tokens``
+    (clamped at keep-everything when a source is too small — upsampling
+    is a separate, explicit decision).
+
+    Plan shape: one tiny per-source token-total aggregate broadcast
+    back onto the corpus, then a pure filter — the corpus itself never
+    shuffles.  Membership is decidable per row from (key, salt, rate):
+    keep iff md5h60(key‖salt) < floor(rate·2^60) — the 60-bit integer
+    form of ``hash_sample`` (engine-portable, no hex-string compare,
+    and rate=1.0 is safe since 2^60 exceeds every 60-bit hash).
+    Sources absent from ``targets`` are dropped (rate 0).
+
+    Output: (key, source, n_tokens, rate) for the sampled docs.
+    """
+    from fide_crawler_spark.operators.dedup import md5h
+
+    assert budget_tokens > 0 and all(w >= 0 for w in targets.values())
+    spark = docs.sparkSession
+    w = spark.createDataFrame(
+        [(s, float(f)) for s, f in sorted(targets.items())],
+        f"{source_col} string, __frac double",
+    )
+    tok = docs.select(
+        key_col,
+        source_col,
+        F.size(F.split(F.col(text_col), " ")).cast("bigint").alias("n_tokens"),
+    )
+    totals = tok.groupBy(source_col).agg(F.sum("n_tokens").alias("__tot"))
+    rates = totals.join(w, source_col).select(
+        source_col,
+        F.least(
+            F.lit(1.0),
+            F.col("__frac") * float(budget_tokens) / F.col("__tot").cast("double"),
+        ).alias("rate"),
+    )
+    h = md5h(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
+    return (
+        tok.join(F.broadcast(rates), source_col)
+        .filter(h < F.floor(F.col("rate") * F.lit(float(2**60))).cast("bigint"))
+        .select(key_col, source_col, "n_tokens", "rate")
+    )
+
+
+def group_split(
+    docs: DataFrame,
+    holdout_frac: float,
+    group_col: str = "source",
+    salt: str = "",
+) -> DataFrame:
+    """Leakage-free train/holdout split: the WHOLE group (domain,
+    source, dedup cluster) lands on one side, decided by its key hash —
+    near-duplicate documents within a group can never straddle the
+    split.  Zero shuffle: one codegen'd expression per row.
+
+    Adds ``split`` ∈ {'train','holdout'}; expected holdout mass ≈
+    ``holdout_frac`` of GROUPS (not rows — by design: group-level
+    assignment is the leakage guarantee)."""
+    from fide_crawler_spark.operators.dedup import md5h
+
+    assert 0.0 <= holdout_frac <= 1.0
+    h = md5h(F.concat(F.col(group_col).cast("string"), F.lit(salt)))
+    thr = F.floor(F.lit(holdout_frac) * F.lit(float(2**60))).cast("bigint")
+    return docs.withColumn(
+        "split", F.when(h < thr, "holdout").otherwise("train")
+    )

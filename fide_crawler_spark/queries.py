@@ -2132,3 +2132,66 @@ def q58_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("doc_id"), F.col("cosine").alias("score")
     )
     return SE.rrf_fuse([(bm25, "score"), (dense, "score")], k=10)
+
+
+@query(
+    "q59_mixture_sample",
+    """
+    WITH tok AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    tot AS (SELECT source, SUM(n_tokens) AS t FROM tok GROUP BY source),
+    w(source, frac) AS (VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2)),
+    r AS (
+      SELECT tot.source,
+             LEAST(1.0, frac * 3000.0 / CAST(t AS DOUBLE)) AS rate
+      FROM tot JOIN w USING (source)
+    )
+    SELECT doc_id, tok.source, n_tokens,
+           FLOOR(rate * 10000 + 0.5) / 10000 AS rate
+    FROM tok JOIN r ON tok.source = r.source
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+          < CAST(FLOOR(rate * 1152921504606846976.0) AS BIGINT)
+    ORDER BY doc_id
+    """,
+)
+def q59_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture resampling (sampling.mixture_sample):
+    sources src0/src1/src2 at 50/30/20% of a 3000-token budget — src0's
+    rate clamps at 1.0 (keep-all), the others sample at derived rates.
+    Membership = md5h60(doc_id) under floor(rate·2^60), replayed
+    bit-identically by the oracle."""
+    out = SA.mixture_sample(
+        load(spark, sf_dir, "documents"),
+        {"src0": 0.5, "src1": 0.3, "src2": 0.2},
+        budget_tokens=3000,
+    )
+    return out.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        (F.floor(F.col("rate") * 10000 + F.lit(0.5)) / 10000).alias("rate"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "q60_group_split",
+    """
+    SELECT doc_id, source,
+           CASE WHEN ('0x' || substr(md5(source), 1, 15))::BIGINT
+                     < CAST(FLOOR(0.25 * 1152921504606846976.0) AS BIGINT)
+                THEN 'holdout' ELSE 'train' END AS split
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q60_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free split (sampling.group_split): whole sources land on
+    one side via md5h60(source) thresholding — near-dups inside a
+    source can never straddle train/holdout."""
+    return (
+        SA.group_split(load(spark, sf_dir, "documents"), 0.25)
+        .select("doc_id", "source", "split")
+        .orderBy("doc_id")
+    )

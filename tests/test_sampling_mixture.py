@@ -1,0 +1,101 @@
+"""mixture_sample / group_split vs pure-Python md5 references."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import functions as F
+
+from fide_crawler_spark.operators import sampling as SA
+
+TWO60 = 2**60
+
+
+def _md5h60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _corpus(spark):
+    rows = [
+        (i, f"s{i % 4}", " ".join(["w"] * (5 + i % 7))) for i in range(200)
+    ]
+    return (
+        spark.createDataFrame(rows, "doc_id long, source string, text string"),
+        rows,
+    )
+
+
+def test_mixture_matches_python_reference(spark):
+    docs, rows = _corpus(spark)
+    targets, budget = {"s0": 0.6, "s1": 0.4}, 300
+    toks = {i: len(t.split(" ")) for i, _, t in rows}
+    tot = {
+        s: sum(toks[i] for i, src, _ in rows if src == s) for s in ("s0", "s1")
+    }
+    want = set()
+    for i, src, _ in rows:
+        if src not in targets:
+            continue
+        rate = min(1.0, targets[src] * budget / tot[src])
+        if _md5h60(str(i)) < math.floor(rate * TWO60):
+            want.add(i)
+    got = {
+        r["doc_id"]
+        for r in SA.mixture_sample(docs, targets, budget).collect()
+    }
+    assert got == want
+    assert want  # non-degenerate
+
+
+def test_mixture_clamps_to_keep_all(spark):
+    docs, rows = _corpus(spark)
+    # budget far above the corpus: every targeted source keeps all rows
+    out = SA.mixture_sample(docs, {"s2": 1.0}, budget_tokens=10**9).collect()
+    assert {r["doc_id"] for r in out} == {i for i, s, _ in rows if s == "s2"}
+    assert all(r["rate"] == 1.0 for r in out)
+
+
+def test_mixture_drops_untargeted_sources(spark):
+    docs, _ = _corpus(spark)
+    out = SA.mixture_sample(docs, {"s3": 0.5}, budget_tokens=100)
+    assert out.filter(F.col("source") != "s3").count() == 0
+
+
+def test_mixture_salt_draws_independent_sample(spark):
+    docs, _ = _corpus(spark)
+    a = {r["doc_id"] for r in SA.mixture_sample(docs, {"s0": 0.5}, 150).collect()}
+    b = {
+        r["doc_id"]
+        for r in SA.mixture_sample(docs, {"s0": 0.5}, 150, salt="x").collect()
+    }
+    assert a and b and a != b
+
+
+def test_group_split_is_leakage_free(spark):
+    docs, _ = _corpus(spark)
+    out = SA.group_split(docs, 0.5, group_col="source").collect()
+    by_group: dict[str, set[str]] = {}
+    for r in out:
+        by_group.setdefault(r["source"], set()).add(r["split"])
+    assert all(len(v) == 1 for v in by_group.values())
+    # matches the hash rule exactly
+    for s, v in by_group.items():
+        want = "holdout" if _md5h60(s) < math.floor(0.5 * TWO60) else "train"
+        assert v == {want}, s
+
+
+def test_group_split_boundaries(spark):
+    docs, _ = _corpus(spark)
+    assert SA.group_split(docs, 0.0).filter("split = 'holdout'").count() == 0
+    assert SA.group_split(docs, 1.0).filter("split = 'train'").count() == 0
+
+
+def test_group_split_expected_fraction(spark):
+    groups = spark.createDataFrame(
+        [(i, f"g{i}") for i in range(2000)], "doc_id long, source string"
+    )
+    frac = (
+        SA.group_split(groups, 0.3).filter("split = 'holdout'").count() / 2000
+    )
+    assert 0.25 < frac < 0.35
