@@ -74,6 +74,8 @@ HEADLINE = [
     "q48_asof_join",
     "q50_shard_packing",
     "q52_decontamination",   # broadcast benchmark semi-join (new r3)
+    "q57_bm25_search",       # inverted-index BM25 top-k (new r3)
+    "q59_mixture_sample",    # broadcast-rate mixture filter (new r3)
 ]
 
 # deep tier: the heavy dedup family at sf0.1 — slower, but regressions
@@ -82,6 +84,7 @@ HEADLINE = [
 DEEP = [
     "q24_ngram_jaccard_top20",   # inverted-index self-join (heaviest join)
     "q34_minhash_dedup_survivors",  # full candidates→verify→anti-join
+    "q55_dup_clusters",      # iterative connected components (new r3)
 ]
 
 
