@@ -173,6 +173,35 @@ def minhash_signatures(
     return flat.groupBy("doc").agg(*aggs)
 
 
+def banded_signatures(
+    docs: DataFrame,
+    k: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    id_col: str = "doc_id",
+    portable: bool = False,
+) -> DataFrame:
+    """(doc, band_id, band_hash) — the persistable LSH index of a
+    corpus.  At scale this table is written ONCE (bucketed by
+    ``band_hash``) and every later batch joins against it; the corpus
+    text is never re-shingled.  ``incremental_dedup`` accepts it via
+    ``corpus_bands``."""
+    sig = minhash_signatures(docs, k=k, n=n, id_col=id_col, portable=portable)
+    rows_per_band = k // bands
+
+    def band_key(b: int) -> F.Column:
+        cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        if portable:
+            return md5h(F.concat_ws("|", F.lit(str(b)), *cols))
+        return F.xxhash64(F.lit(b), *cols)
+
+    band_cols = [band_key(b).alias("band_hash") for b in range(bands)]
+    return sig.select(
+        "doc",
+        F.posexplode(F.array(*band_cols)).alias("band_id", "band_hash"),
+    )
+
+
 def minhash_lsh_candidates(
     docs: DataFrame,
     k: int = 16,
@@ -187,19 +216,8 @@ def minhash_lsh_candidates(
     Jaccard s: 1-(1-s^(k/bands))^bands.  The band hash is only a join
     key, so its choice never changes the output beyond ~2^-60 collision
     noise; ``portable=True`` uses md5 so DuckDB reproduces it exactly."""
-    sig = minhash_signatures(docs, k=k, n=n, id_col=id_col, portable=portable)
-    rows_per_band = k // bands
-
-    def band_key(b: int) -> F.Column:
-        cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
-        if portable:
-            return md5h(F.concat_ws("|", F.lit(str(b)), *cols))
-        return F.xxhash64(F.lit(b), *cols)
-
-    band_cols = [band_key(b).alias("band_hash") for b in range(bands)]
-    banded = sig.select(
-        "doc",
-        F.posexplode(F.array(*band_cols)).alias("band_id", "band_hash"),
+    banded = banded_signatures(
+        docs, k=k, bands=bands, n=n, id_col=id_col, portable=portable
     )
     a = banded.select(F.col("doc").alias("doc_a"), "band_id", "band_hash")
     b = banded.select(F.col("doc").alias("doc_b"), "band_id", "band_hash")
@@ -241,6 +259,78 @@ def minhash_dedup(
     )
     dominated = verified.select(F.col("doc_b").alias(id_col)).distinct()
     return docs.join(dominated, id_col, "left_anti")
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    threshold: float = 0.8,
+    k: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    id_col: str = "doc_id",
+    portable: bool = False,
+    corpus_bands: DataFrame | None = None,
+) -> DataFrame:
+    """Incremental MinHash dedup: survivors of ``new_docs`` against an
+    already-deduped ``corpus``, plus within-batch dedup — WITHOUT ever
+    re-deduping the corpus against itself.  This is the only dedup form
+    that works at 100 TB: corpus x corpus is quadratic in history,
+    batch x corpus is linear in the batch.
+
+    Pass ``corpus_bands`` = persisted ``banded_signatures(corpus)`` to
+    skip re-hashing the corpus entirely (the at-scale path; the corpus
+    text is then touched only to re-shingle the handful of docs that
+    LSH-collide with the batch, reduced by a semi-join first so the
+    full corpus text never rides a shuffle).
+
+    Within-batch semantics match ``minhash_dedup`` exactly (doc_b
+    dominated by any verified near-dup doc_a < doc_b); corpus
+    domination is unordered — any verified corpus match kills the new
+    doc.  New and corpus id spaces are assumed disjoint.
+    """
+    nb = banded_signatures(
+        new_docs, k=k, bands=bands, n=n, id_col=id_col, portable=portable
+    )
+    cb = (
+        corpus_bands
+        if corpus_bands is not None
+        else banded_signatures(
+            corpus, k=k, bands=bands, n=n, id_col=id_col, portable=portable
+        )
+    )
+    cross = (
+        nb.select(F.col("doc").alias("doc_new"), "band_id", "band_hash")
+        .join(
+            cb.select(F.col("doc").alias("doc_old"), "band_id", "band_hash"),
+            ["band_id", "band_hash"],
+        )
+        .select("doc_new", "doc_old")
+        .distinct()
+    )
+    sh_new = new_docs.select(
+        F.col(id_col).alias("doc_new"), shingles_col(n=n).alias("sh_n")
+    )
+    matched_old = cross.select(F.col("doc_old").alias(id_col)).distinct()
+    sh_old = corpus.join(matched_old, id_col, "left_semi").select(
+        F.col(id_col).alias("doc_old"), shingles_col(n=n).alias("sh_o")
+    )
+    dominated = (
+        cross.join(sh_new, "doc_new")
+        .join(sh_old, "doc_old")
+        .filter(
+            F.size(F.array_intersect("sh_n", "sh_o")).cast("double")
+            / F.size(F.array_union("sh_n", "sh_o"))
+            >= threshold
+        )
+        .select(F.col("doc_new").alias(id_col))
+        .distinct()
+    )
+    within = minhash_dedup(
+        new_docs, threshold=threshold, k=k, bands=bands, n=n,
+        id_col=id_col, portable=portable,
+    )
+    return within.join(dominated, id_col, "left_anti")
 
 
 def simhash(

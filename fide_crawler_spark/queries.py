@@ -2195,3 +2195,72 @@ def q60_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "split")
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q61_incremental_dedup",
+    f"""
+    WITH {_GRAMS3_SQL}, {_SIG_CTE}, {_BANDS_CTE},
+    newids AS (SELECT doc_id AS doc FROM documents WHERE doc_id % 10 < 2),
+    sizes AS (SELECT doc, COUNT(*) AS n FROM grams GROUP BY doc),
+    cross_cand AS (
+      SELECT DISTINCT a.doc AS doc_new, b.doc AS doc_old
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+      WHERE a.doc IN (SELECT doc FROM newids)
+        AND b.doc NOT IN (SELECT doc FROM newids)
+    ),
+    cross_inter AS (
+      SELECT c.doc_new, c.doc_old, COUNT(*) AS i
+      FROM cross_cand c
+      JOIN grams ga ON ga.doc = c.doc_new
+      JOIN grams gb ON gb.doc = c.doc_old AND gb.gram = ga.gram
+      GROUP BY 1, 2
+    ),
+    cross_dom AS (
+      SELECT DISTINCT ci.doc_new FROM cross_inter ci
+      JOIN sizes sa ON sa.doc = ci.doc_new
+      JOIN sizes sb ON sb.doc = ci.doc_old
+      WHERE ci.i::DOUBLE / (sa.n + sb.n - ci.i) >= 0.8
+    ),
+    wcand AS (
+      SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+           AND a.doc < b.doc
+      WHERE a.doc IN (SELECT doc FROM newids)
+        AND b.doc IN (SELECT doc FROM newids)
+    ),
+    win_inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+      FROM wcand c
+      JOIN grams ga ON ga.doc = c.doc_a
+      JOIN grams gb ON gb.doc = c.doc_b AND gb.gram = ga.gram
+      GROUP BY 1, 2
+    ),
+    win_dom AS (
+      SELECT DISTINCT wi.doc_b FROM win_inter wi
+      JOIN sizes sa ON sa.doc = wi.doc_a
+      JOIN sizes sb ON sb.doc = wi.doc_b
+      WHERE wi.i::DOUBLE / (sa.n + sb.n - wi.i) >= 0.8
+    )
+    SELECT doc AS doc_id FROM newids
+    WHERE doc NOT IN (SELECT doc_new FROM cross_dom)
+      AND doc NOT IN (SELECT doc_b FROM win_dom)
+    ORDER BY doc_id
+    """,
+)
+def q61_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup (dedup.incremental_dedup, md5-keyed portable):
+    docs with doc_id%10<2 are the "new batch", the rest the deduped
+    corpus; survivors = new docs neither LSH+Jaccard-matched to the
+    corpus nor dominated within the batch.  The oracle replays bands,
+    cross candidates, both verifies and the double anti-join."""
+    docs = load(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 10 < 2)
+    corpus = docs.filter(F.col("doc_id") % 10 >= 2)
+    return (
+        D.incremental_dedup(new, corpus, threshold=0.8, portable=True)
+        .select("doc_id")
+        .orderBy("doc_id")
+    )

@@ -382,3 +382,63 @@ def test_ann_ivf_recall_gate_multi_seed(spark):
         recalls.append(len(exact & approx) / 10)
     assert sum(recalls) / len(recalls) >= 0.5, recalls
     assert min(recalls) >= 0.3, recalls
+
+
+def _incr_corpora(spark):
+    base = " ".join(f"tok{i}" for i in range(30))
+    other = " ".join(f"alt{i}" for i in range(30))
+    half = " ".join(
+        [f"tok{i}" for i in range(15)] + [f"new{i}" for i in range(15)]
+    )
+    corpus = spark.createDataFrame(
+        [(1000, base), (1001, other)], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [
+            (1, base),    # exact dup of corpus 1000 -> killed
+            (2, half),    # shares half the tokens -> jaccard < 0.8, survives
+            (3, "u " + " ".join(f"uniq{i}" for i in range(20))),  # survives
+            (4, "u " + " ".join(f"uniq{i}" for i in range(20))),  # within-batch dup of 3 -> killed
+        ],
+        "doc_id long, text string",
+    )
+    return new, corpus
+
+
+def test_incremental_dedup_planted(spark):
+    from fide_crawler_spark.operators.dedup import incremental_dedup
+
+    new, corpus = _incr_corpora(spark)
+    got = sorted(
+        r["doc_id"] for r in incremental_dedup(new, corpus).collect()
+    )
+    assert got == [2, 3]
+
+
+def test_incremental_dedup_precomputed_bands_identical(spark):
+    from fide_crawler_spark.operators.dedup import (
+        banded_signatures,
+        incremental_dedup,
+    )
+
+    new, corpus = _incr_corpora(spark)
+    cb = banded_signatures(corpus)
+    a = sorted(r["doc_id"] for r in incremental_dedup(new, corpus).collect())
+    b = sorted(
+        r["doc_id"]
+        for r in incremental_dedup(new, corpus, corpus_bands=cb).collect()
+    )
+    assert a == b == [2, 3]
+
+
+def test_incremental_dedup_empty_corpus_is_minhash_dedup(spark):
+    from fide_crawler_spark.operators.dedup import (
+        incremental_dedup,
+        minhash_dedup,
+    )
+
+    new, _ = _incr_corpora(spark)
+    empty = new.filter("doc_id < 0")
+    a = sorted(r["doc_id"] for r in incremental_dedup(new, empty).collect())
+    b = sorted(r["doc_id"] for r in minhash_dedup(new).select("doc_id").collect())
+    assert a == b
