@@ -97,7 +97,10 @@ def mixture_sample(
         [(s, float(f)) for s, f in sorted(targets.items())],
         f"{source_col} string, __frac double",
     )
-    tok = docs.select(
+    # sources are known driver-side: push an IN literal into the scan so
+    # untargeted sources are pruned at the parquet level (row-group
+    # stats / partition pruning at scale), not aggregated and dropped.
+    tok = docs.filter(F.col(source_col).isin(list(targets))).select(
         key_col,
         source_col,
         F.size(F.split(F.col(text_col), " ")).cast("bigint").alias("n_tokens"),
