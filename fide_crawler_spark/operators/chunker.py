@@ -1,0 +1,60 @@
+"""Document chunking: fixed-size token windows with overlap.
+
+The step between a curated corpus and a training run: long documents
+are split into ~sequence-length chunks, with a small overlap so no
+span of context is ever cut without a witness.  Entirely JVM-side —
+``sequence`` generates the chunk starts, ``posexplode`` fans them out,
+``slice``/``array_join`` materialize each window — so chunking runs at
+scan speed and composes with any partitioning (each task chunks its own
+rows; output stays co-partitioned with the input, no shuffle).
+
+At 100 TB the thing to avoid is a Python row loop or a per-doc UDF
+call; this is one codegen'd projection with a generator in the middle.
+
+Reference parity: the reference has no chunking (its unit of work is a
+whole scraped page); this extends the text family per the brief's
+training-data mandate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, chunk_id, n_tokens, chunk_text) — whitespace-token windows
+    of ``chunk_tokens`` starting every ``chunk_tokens - overlap``
+    positions; the final window may be short (never empty).  A doc
+    shorter than one chunk yields exactly one chunk = itself.
+    Deterministic: chunk_id = start // step.
+    """
+    assert chunk_tokens > 0 and 0 <= overlap < chunk_tokens
+    step = chunk_tokens - overlap
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(step))
+    return (
+        docs.select(
+            F.col(id_col),
+            toks.alias("__toks"),
+            n.alias("__n"),
+            F.posexplode(starts).alias("chunk_id", "__start"),
+        )
+        .select(
+            id_col,
+            F.col("chunk_id").cast("int").alias("chunk_id"),
+            F.least(F.lit(chunk_tokens), F.col("__n") - F.col("__start"))
+            .cast("int")
+            .alias("n_tokens"),
+            F.array_join(
+                F.slice("__toks", F.col("__start") + 1, F.lit(chunk_tokens)), " "
+            ).alias("chunk_text"),
+        )
+    )

@@ -2264,3 +2264,37 @@ def q61_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .orderBy("doc_id")
     )
+
+
+from fide_crawler_spark.operators import chunker as CH  # noqa: E402
+
+
+@query(
+    "q62_chunk_documents",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS l,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, l, n,
+             unnest(generate_series(0, GREATEST(n - 1, 0), 56)) AS start
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(start / 56 AS INT) AS chunk_id,
+           CAST(LEAST(64, n - start) AS INT) AS n_tokens,
+           array_to_string(list_slice(l, start + 1, start + 64), ' ')
+             AS chunk_text
+    FROM s ORDER BY doc_id, chunk_id
+    """,
+)
+def q62_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence prep (chunker.chunk_documents): 64-token windows with
+    8-token overlap (step 56) — sequence → posexplode → slice, one
+    codegen'd projection, no shuffle.  Oracle replays via
+    generate_series + list_slice."""
+    return CH.chunk_documents(
+        load(spark, sf_dir, "documents"), chunk_tokens=64, overlap=8
+    ).orderBy("doc_id", "chunk_id")

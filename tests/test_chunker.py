@@ -1,0 +1,64 @@
+"""chunk_documents vs a pure-Python windowing reference."""
+
+from __future__ import annotations
+
+import pytest
+
+from fide_crawler_spark.operators.chunker import chunk_documents
+
+
+def _py_chunks(text: str, chunk: int, overlap: int):
+    toks = text.split(" ")
+    step = chunk - overlap
+    out = []
+    for cid, start in enumerate(range(0, max(len(toks), 1), step)):
+        win = toks[start : start + chunk]
+        out.append((cid, len(win), " ".join(win)))
+    return out
+
+
+@pytest.mark.parametrize("chunk,overlap", [(8, 2), (5, 0), (64, 8)])
+def test_matches_python_reference(spark, chunk, overlap):
+    rows = [
+        (0, " ".join(f"t{i}" for i in range(23))),
+        (1, "single"),
+        (2, " ".join(f"x{i}" for i in range(8))),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["chunk_id"]): (r["n_tokens"], r["chunk_text"])
+        for r in chunk_documents(docs, chunk, overlap).collect()
+    }
+    want = {
+        (i, cid): (n, txt)
+        for i, text in rows
+        for cid, n, txt in _py_chunks(text, chunk, overlap)
+    }
+    assert got == want
+
+
+def test_short_doc_single_chunk(spark):
+    docs = spark.createDataFrame([(7, "a b c")], "doc_id long, text string")
+    rows = chunk_documents(docs, chunk_tokens=64, overlap=8).collect()
+    assert len(rows) == 1
+    assert rows[0]["chunk_text"] == "a b c" and rows[0]["n_tokens"] == 3
+
+
+def test_overlap_witness(spark):
+    # every token boundary inside the doc appears intact in some chunk
+    docs = spark.createDataFrame(
+        [(0, " ".join(f"t{i}" for i in range(20)))], "doc_id long, text string"
+    )
+    rows = sorted(
+        chunk_documents(docs, 8, 2).collect(), key=lambda r: r["chunk_id"]
+    )
+    # consecutive chunks share exactly `overlap` tokens
+    for a, b in zip(rows, rows[1:]):
+        ta, tb = a["chunk_text"].split(" "), b["chunk_text"].split(" ")
+        assert ta[-2:] == tb[:2]
+
+
+def test_invalid_params_raise(spark):
+    docs = spark.createDataFrame([(0, "a")], "doc_id long, text string")
+    with pytest.raises(AssertionError):
+        chunk_documents(docs, 4, 4)
