@@ -2298,3 +2298,89 @@ def q62_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CH.chunk_documents(
         load(spark, sf_dir, "documents"), chunk_tokens=64, overlap=8
     ).orderBy("doc_id", "chunk_id")
+
+
+@query(
+    "q63_curation_pipeline",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS DOUBLE) AS n,
+             CAST(len(list_filter(string_split(text, ' '),
+                                  x -> list_contains({_STOP_SQL}, x))) AS DOUBLE) AS n_stop,
+             CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS n_dist
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id,
+             n_stop / GREATEST(n, 1.0) AS stop_ratio,
+             1.0 - n_dist / GREATEST(n, 1.0) AS rep_ratio,
+             LEAST(n / 64.0, 1.0) AS len_score
+      FROM t
+    ),
+    scored AS (
+      SELECT doc_id,
+             FLOOR((0.4 * len_score + 0.3 * LEAST(stop_ratio * 4, 1.0)
+                    + 0.3 * (1.0 - rep_ratio)) * 10000 + 0.5) / 10000 AS qs
+      FROM r
+    ),
+    keep AS (
+      SELECT d.doc_id, d.text, d.source
+      FROM documents d JOIN scored USING (doc_id) WHERE qs >= 0.55
+    ),
+    ded AS (SELECT MIN(doc_id) AS doc_id FROM keep GROUP BY text),
+    train AS (
+      SELECT k.doc_id, k.text FROM keep k JOIN ded USING (doc_id)
+      WHERE NOT (('0x' || substr(md5(k.source), 1, 15))::BIGINT
+                 < CAST(FLOOR(0.25 * 1152921504606846976.0) AS BIGINT))
+    ),
+    t2 AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n,
+             string_split(text, ' ') AS l
+      FROM train
+    ),
+    s AS (
+      SELECT doc_id, n,
+             unnest(generate_series(0, GREATEST(n - 1, 0), 56)) AS start
+      FROM t2
+    ),
+    ch AS (
+      SELECT doc_id, CAST(start / 56 AS INT) AS chunk_id,
+             CAST(LEAST(64, n - start) AS INT) AS n_tokens
+      FROM s
+    )
+    SELECT doc_id, chunk_id, n_tokens,
+           CAST((SUM(n_tokens) OVER (ORDER BY doc_id, chunk_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 - n_tokens) // 2048 AS BIGINT) AS shard_id
+    FROM ch ORDER BY doc_id, chunk_id
+    """,
+)
+def q63_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone composition — the full curation pipeline as ONE lazy
+    plan: quality filter (>= 0.55) -> exact dedup (min-id survivor per
+    distinct text) -> leakage-free group split (keep the 75% train
+    side) -> 64/8 chunking -> 2048-token shard packing in (doc_id,
+    chunk_id) order.  Every stage is an existing operator; the oracle
+    replays the whole chain in SQL."""
+    docs = load(spark, sf_dir, "documents")
+    kept = docs.join(
+        TS.quality_score(docs)
+        .filter(F.col("quality_score") >= 0.55)
+        .select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    survivors = D.exact_dedup(kept).select("doc_id")
+    deduped = kept.join(survivors, "doc_id", "left_semi")
+    train = SA.group_split(deduped, 0.25).filter(F.col("split") == "train")
+    chunks = CH.chunk_documents(train, chunk_tokens=64, overlap=8).select(
+        "doc_id", "chunk_id", "n_tokens"
+    )
+    packed = SH.pack_shards(
+        chunks, "n_tokens", 2048,
+        [F.col("doc_id").asc(), F.col("chunk_id").asc()],
+    )
+    return packed.select("doc_id", "chunk_id", "n_tokens", "shard_id").orderBy(
+        "doc_id", "chunk_id"
+    )
