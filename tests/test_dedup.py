@@ -131,13 +131,16 @@ def test_cosine_topk_matches_numpy(spark):
     assert got == expect_ids
 
 
-def test_ann_ivf_recall(spark):
+@pytest.mark.parametrize("qidx", [7, 42, 123])
+def test_ann_ivf_recall(spark, qidx):
+    # three independent query vectors so a broken cell router (e.g.
+    # probing the wrong cells for SOME directions) can't pass on luck
     ids, vecs = _mk_vectors(n=300, n_dups=0)
     df = spark.createDataFrame(
         [(i, [float(x) for x in v]) for i, v in zip(ids, vecs)],
         "vec_id long, embedding array<float>",
     )
-    q = [float(x) for x in vecs[7]]
+    q = [float(x) for x in vecs[qidx]]
     exact = {r["vec_id"] for r in SIM.cosine_topk(df, q, k=10).collect()}
     approx = {
         r["vec_id"]
