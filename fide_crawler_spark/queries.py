@@ -2384,3 +2384,93 @@ def q63_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packed.select("doc_id", "chunk_id", "n_tokens", "shard_id").orderBy(
         "doc_id", "chunk_id"
     )
+
+
+from fide_crawler_spark.operators import tokenize as TK  # noqa: E402
+
+_M31_SQL = 2147483647
+
+
+@query(
+    "q64_vocab_build",
+    """
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    counts AS (
+      SELECT token, COUNT(*) AS freq FROM toks GROUP BY token
+      ORDER BY freq DESC, token ASC LIMIT 50
+    )
+    SELECT token,
+           CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, token ASC) AS INT)
+             AS token_id,
+           freq
+    FROM counts ORDER BY token_id
+    """,
+)
+def q64_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary build (tokenize.build_vocab): top-50 corpus tokens by
+    frequency, id = rank in (freq desc, token asc) total order."""
+    return TK.build_vocab(
+        load(spark, sf_dir, "documents"), vocab_size=50
+    ).orderBy("token_id")
+
+
+@query(
+    "q65_encode_docs",
+    f"""
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    counts AS (
+      SELECT token, COUNT(*) AS freq FROM toks GROUP BY token
+      ORDER BY freq DESC, token ASC LIMIT 50
+    ),
+    vocab AS (
+      SELECT token,
+             CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, token ASC) AS INT)
+               AS token_id
+      FROM counts
+    ),
+    pos_tok AS (
+      SELECT doc_id, p, l[p] AS token FROM (
+        SELECT doc_id, string_split(text, ' ') AS l,
+               unnest(generate_series(1, len(string_split(text, ' ')))) AS p
+        FROM documents
+      )
+    ),
+    enc AS (
+      SELECT pt.doc_id, pt.p, COALESCE(v.token_id, 0) AS tid
+      FROM pos_tok pt LEFT JOIN vocab v USING (token)
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS INT) AS n_tokens,
+           CAST(SUM(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS INT) AS n_oov,
+           CAST(SUM((p * tid) % {_M31_SQL}) % {_M31_SQL} AS BIGINT)
+             AS enc_checksum
+    FROM enc GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q65_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document encoding (tokenize.encode_docs): every doc as an
+    array<int> of vocab-50 ids, OOV=0.  The oracle certifies the whole
+    array through a position-weighted checksum (mod 2^31-1, reduced
+    per term so both engines stay in int64) plus token/OOV counts."""
+    docs = load(spark, sf_dir, "documents")
+    vocab = TK.build_vocab(docs, vocab_size=50)
+    enc = TK.encode_docs(docs, vocab)
+    ids = F.col("token_ids")
+    term = F.zip_with(
+        ids,
+        F.sequence(F.lit(1), F.size(ids)),
+        lambda t, p: F.pmod(p.cast("bigint") * t, F.lit(_M31_SQL)),
+    )
+    return enc.select(
+        "doc_id",
+        F.size(ids).cast("int").alias("n_tokens"),
+        F.size(F.filter(ids, lambda t: t == TK.OOV_ID)).cast("int").alias("n_oov"),
+        F.pmod(
+            F.aggregate(term, F.lit(0).cast("bigint"), lambda a, x: a + x),
+            F.lit(_M31_SQL),
+        ).alias("enc_checksum"),
+    ).orderBy("doc_id")
