@@ -161,3 +161,51 @@ def fingerprint(docs: DataFrame) -> DataFrame:
             F.pmod(F.sum(term), F.lit(FINGERPRINT_MOD)).alias("fingerprint")
         )
     )
+
+
+def compression_ratio(docs: DataFrame, text_col: str = "text", level: int = 6) -> DataFrame:
+    """Compression-ratio quality signal: deflate(text)/len(text) — the
+    classic cheap proxy for boilerplate/repetition (highly repetitive
+    documents compress far below ~1.0; natural text sits higher).
+
+    This is the one text signal that genuinely needs Python (no zlib in
+    SQL engines), so it takes the disciplined slow path: Arrow-batched
+    ``mapInPandas`` over a doc_id+text projection (column pruning keeps
+    everything else off the Arrow channel), vectorized per batch, no
+    per-row Python UDF calls.  No SQL oracle by nature — the pytest
+    oracle is the zlib reference itself (deterministic for a fixed
+    level and library version).
+    """
+    import zlib
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            raw = pdf[text_col].fillna("").map(lambda s: s.encode("utf-8"))
+            nb = raw.map(len).astype("int32")
+            nc = raw.map(lambda b: len(zlib.compress(b, level))).astype("int32")
+            import numpy as np
+
+            ratio = np.floor(
+                nc.to_numpy(dtype="float64")
+                / np.maximum(nb.to_numpy(dtype="float64"), 1.0)
+                * 10000
+                + 0.5
+            ) / 10000
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": nb,
+                    "n_compressed": nc,
+                    "compression_ratio": ratio,
+                }
+            )
+
+    return docs.select("doc_id", text_col).mapInPandas(
+        score,
+        "doc_id long, n_bytes int, n_compressed int, compression_ratio double",
+    )

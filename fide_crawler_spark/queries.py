@@ -2474,3 +2474,14 @@ def q65_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(_M31_SQL),
         ).alias("enc_checksum"),
     ).orderBy("doc_id")
+
+
+@query("q66_compression_ratio")
+def q66_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio quality signal (textstats.compression_ratio):
+    deflate-vs-raw byte ratio per doc via Arrow-batched mapInPandas.
+    Rows-only at the driver (no zlib in SQL engines); the pytest oracle
+    is the zlib reference itself."""
+    return TS.compression_ratio(load(spark, sf_dir, "documents")).orderBy(
+        "doc_id"
+    )

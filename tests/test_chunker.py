@@ -62,3 +62,31 @@ def test_invalid_params_raise(spark):
     docs = spark.createDataFrame([(0, "a")], "doc_id long, text string")
     with pytest.raises(AssertionError):
         chunk_documents(docs, 4, 4)
+
+
+def test_compression_ratio_matches_zlib(spark):
+    import math
+    import zlib
+
+    from fide_crawler_spark.operators.textstats import compression_ratio
+
+    rows = [
+        (0, "spam " * 200),              # highly repetitive
+        (1, " ".join(f"w{i}" for i in range(200))),  # high-entropy-ish
+        (2, "x"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_bytes"], r["n_compressed"], r["compression_ratio"])
+        for r in compression_ratio(docs).collect()
+    }
+    for i, t in rows:
+        b = t.encode()
+        c = len(zlib.compress(b, 6))
+        assert got[i] == (
+            len(b),
+            c,
+            math.floor(c / max(len(b), 1) * 10000 + 0.5) / 10000,
+        )
+    # the repetitive doc compresses far better than the diverse one
+    assert got[0][2] < got[1][2]
