@@ -2485,3 +2485,65 @@ def q66_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TS.compression_ratio(load(spark, sf_dir, "documents")).orderBy(
         "doc_id"
     )
+
+
+@query(
+    "q67_quantize_embeddings",
+    """
+    WITH x AS (
+      SELECT vec_id,
+             list_transform(embedding, v -> CAST(v AS DOUBLE)) AS xs
+      FROM embeddings
+    ),
+    st AS (
+      SELECT vec_id, xs, len(xs) AS n_dims,
+             list_min(xs) AS mn,
+             (list_max(xs) - list_min(xs)) / 255.0 AS scale
+      FROM x
+    ),
+    q AS (
+      SELECT vec_id, n_dims, mn, scale,
+             CASE WHEN scale > 0 THEN
+               list_transform(xs, v -> CAST(FLOOR((v - mn) / scale + 0.5)
+                                            AS BIGINT))
+             ELSE list_transform(xs, v -> CAST(0 AS BIGINT)) END AS qv
+      FROM st
+    ),
+    e AS (
+      SELECT vec_id, n_dims, mn, scale,
+             unnest(qv) AS tid,
+             unnest(generate_series(1, n_dims)) AS p
+      FROM q
+    )
+    SELECT vec_id,
+           CAST(ANY_VALUE(n_dims) AS INT) AS n_dims,
+           FLOOR(ANY_VALUE(mn) * 10000 + 0.5) / 10000 AS zero_point,
+           FLOOR(ANY_VALUE(scale) * 1000000 + 0.5) / 1000000 AS scale,
+           CAST(SUM((p * tid) % 2147483647) % 2147483647 AS BIGINT)
+             AS q_checksum
+    FROM e GROUP BY vec_id ORDER BY vec_id
+    """,
+)
+def q67_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 embedding quantization (similarity.quantize_embeddings):
+    per-vector affine codes certified through a position-weighted
+    checksum; zero_point/scale rounded for hash-stable comparison."""
+    q = SIM.quantize_embeddings(load(spark, sf_dir, "embeddings"))
+    ids = F.col("qvals")
+    term = F.zip_with(
+        ids,
+        F.sequence(F.lit(1), F.size(ids)),
+        lambda t, p: F.pmod(p.cast("bigint") * t.cast("bigint"), F.lit(_M31_SQL)),
+    )
+    return q.select(
+        "vec_id",
+        "n_dims",
+        (F.floor(F.col("zero_point") * 10000 + F.lit(0.5)) / 10000).alias(
+            "zero_point"
+        ),
+        (F.floor(F.col("scale") * 1000000 + F.lit(0.5)) / 1000000).alias("scale"),
+        F.pmod(
+            F.aggregate(term, F.lit(0).cast("bigint"), lambda a, x: a + x),
+            F.lit(_M31_SQL),
+        ).alias("q_checksum"),
+    ).orderBy("vec_id")
