@@ -20,14 +20,18 @@ from pyspark.sql import DataFrame, SparkSession
 def write_bucketed(
     df: DataFrame,
     table: str,
-    key: str = "url_hash",
+    key: str | list[str] = "url_hash",
     n_buckets: int = 64,
     sort: bool = True,
 ) -> None:
-    """Persist as a bucketed (and bucket-sorted) managed table."""
-    w = df.write.bucketBy(n_buckets, key)
+    """Persist as a bucketed (and bucket-sorted) managed table.
+    ``key`` may be a composite (e.g. ``["band_id", "band_hash"]`` for
+    the dedup index) — joins on exactly those keys then reuse the
+    bucketing with zero Exchange on this side."""
+    keys = [key] if isinstance(key, str) else list(key)
+    w = df.write.bucketBy(n_buckets, keys[0], *keys[1:])
     if sort:
-        w = w.sortBy(key)
+        w = w.sortBy(keys[0], *keys[1:])
     w.mode("overwrite").saveAsTable(table)
 
 

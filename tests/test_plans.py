@@ -142,3 +142,65 @@ def test_decontam_benchmark_is_broadcast(spark, sf_dir):
 
     plan = formatted_plan(QUERIES["q52_decontamination"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan[:1500]
+
+
+def test_bucketed_dedup_index_join_shuffles_batch_only(spark, tmp_path):
+    """The incremental-dedup scale story made concrete: the corpus LSH
+    index persisted bucketed by (band_id, band_hash) joins a freshly
+    computed batch with NO Exchange on the corpus side — only the
+    (small) batch shuffles to meet the bucketing.  End-to-end result is
+    identical to the unbucketed path."""
+    from fide_crawler_spark.operators.dedup import (
+        banded_signatures,
+        incremental_dedup,
+    )
+    from fide_crawler_spark.plans import formatted_plan
+    from fide_crawler_spark.sources.bucketed import write_bucketed
+
+    base = " ".join(f"tok{i}" for i in range(30))
+    corpus = spark.createDataFrame(
+        [(1000 + i, base.replace("tok0", f"c{i}")) for i in range(40)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, base), (2, "q " + " ".join(f"z{i}" for i in range(20)))],
+        "doc_id long, text string",
+    )
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        write_bucketed(
+            banded_signatures(corpus), "corpus_bands_bkt",
+            key=["band_id", "band_hash"], n_buckets=8,
+        )
+        cb = spark.table("corpus_bands_bkt")
+        nb = banded_signatures(new)
+        j = nb.select(
+            F.col("doc").alias("doc_new"), "band_id", "band_hash"
+        ).join(
+            cb.select(F.col("doc").alias("doc_old"), "band_id", "band_hash"),
+            ["band_id", "band_hash"],
+        )
+        plan = formatted_plan(j)
+        assert "Bucketed: true" in plan, plan[:1500]
+        # every Exchange must sit in the SortMergeJoin's LEFT (batch)
+        # subtree — tree lines there carry the ':' continuation marker.
+        # The corpus side must read its bucket files straight into the
+        # join: no Exchange on any unmarked (right-subtree) line.
+        tree = plan.split("\n\n")[0]
+        assert "SortMergeJoin" in tree, tree
+        for line in tree.splitlines():
+            if "Exchange" in line:
+                assert ":" in line.split("Exchange")[0], tree
+
+        got = sorted(
+            r["doc_id"]
+            for r in incremental_dedup(new, corpus, corpus_bands=cb).collect()
+        )
+        want = sorted(
+            r["doc_id"] for r in incremental_dedup(new, corpus).collect()
+        )
+        assert got == want == [2]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP TABLE IF EXISTS corpus_bands_bkt")
