@@ -133,3 +133,20 @@ def run_to_memory(
         q.processAllAvailable()
     finally:
         q.stop()
+
+
+def dedup_stream(
+    events: DataFrame,
+    key_cols: tuple[str, ...] = ("event_id",),
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup: ``dropDuplicatesWithinWatermark`` emits
+    the first occurrence of each key and drops re-arrivals across
+    micro-batches, while the watermark bounds the dedup state to the
+    late-data horizon — the unbounded-state-safe form (a plain
+    ``dropDuplicates`` on a stream keeps every key forever, which at
+    crawl scale is an OOM with a delay).  The batch equivalent is
+    ``distinct``/keep-first on the same keys (asserted in tests)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )

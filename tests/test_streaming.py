@@ -48,3 +48,39 @@ def test_stateful_running_totals_match_batch(spark, sf_dir):
         n, total = got[r["user_id"]]
         assert n == r["n"]
         assert abs(total - r["total"]) < 1e-6
+
+
+def test_stream_dedup_across_microbatches(spark, sf_dir, tmp_path):
+    """Duplicates arriving in LATER micro-batches are dropped by the
+    watermark-bounded state: two identical files -> two micro-batches;
+    output equals the batch distinct of one copy."""
+    import os
+
+    from fide_crawler_spark.streaming.pipeline import (
+        dedup_stream,
+        read_events_stream,
+        run_to_memory,
+    )
+
+    batch = (
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        .orderBy("event_id")
+        .limit(300)
+    )
+    d = str(tmp_path / "dup_events")
+    batch.coalesce(1).write.mode("overwrite").parquet(d)
+    # second identical file = a later micro-batch full of duplicates
+    files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+    import shutil
+
+    shutil.copy(os.path.join(d, files[0]), os.path.join(d, "copy_" + files[0]))
+
+    stream = read_events_stream(spark, d, max_files=1)
+    run_to_memory(
+        dedup_stream(stream), "dedup_stream_t", output_mode="append"
+    )
+    got = spark.sql(
+        "SELECT event_id FROM dedup_stream_t ORDER BY event_id"
+    ).collect()
+    want = batch.select("event_id").distinct().orderBy("event_id").collect()
+    assert [r["event_id"] for r in got] == [r["event_id"] for r in want]
