@@ -88,11 +88,32 @@ def _small_star(edges: DataFrame) -> DataFrame:
     )
 
 
+def _driver_union_find(edges: list[tuple]) -> dict:
+    """Min-label components by union-find — the finisher for a residual
+    graph that has shrunk under the driver cap."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for ab in edges for n in ab}
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iter: int = 50,
+    driver_cap: int = 1_000_000,
 ) -> DataFrame:
     """Component labels for every node appearing in ``pairs``.
 
@@ -105,6 +126,15 @@ def connected_components(
     fixpoint (count + checksum stable), which at convergence is exactly
     the star set {(v, component-min)} — so the final projection is a
     rename, not another aggregation.
+
+    ``driver_cap``: once the (monotonically shrinking) residual edge
+    set fits under this bound, one collect + union-find finishes the
+    job — the same bounded-fan-in discipline as the dequeue's stats
+    collects (1M edges ≈ 16 MB).  At web scale the distributed star
+    rounds do the shrinking; at small scale this skips ~2 s/round of
+    fixed stage-scheduling overhead.  Labels are identical either way
+    (min id of the component).  Pass ``driver_cap=0`` to force the
+    fully-distributed path.
     """
     edges = (
         pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
@@ -118,9 +148,27 @@ def connected_components(
         .distinct()
     ).localCheckpoint()
 
+    spark = pairs.sparkSession
     prev = _edge_fingerprint(edges)
     for _ in range(max_iter):
-        edges = _small_star(_large_star(edges)).localCheckpoint()
+        if prev[0] <= driver_cap:
+            comp = _driver_union_find(
+                [(r["src"], r["dst"]) for r in edges.collect()]
+            )
+            if not comp:
+                return nodes.select("node", F.col("node").alias("component"))
+            labels = spark.createDataFrame(
+                list(comp.items()), schema=edges.select("src", "dst").schema
+            ).select(
+                F.col("src").alias("node"), F.col("dst").alias("component")
+            )
+            return nodes.join(labels, "node", "left").select(
+                "node", F.coalesce("component", "node").alias("component")
+            )
+        # lazy checkpoint: the fingerprint job below both materializes
+        # the round's edge set AND computes the convergence scalars —
+        # one Spark job per round instead of two
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=False)
         cur = _edge_fingerprint(edges)
         if cur == prev:
             break

@@ -28,9 +28,9 @@ def _uf_components(pairs: list[tuple[int, int]]) -> dict[int, int]:
     return {n: find(n) for n in nodes}
 
 
-def _run(spark, pairs: list[tuple[int, int]]) -> dict[int, int]:
+def _run(spark, pairs: list[tuple[int, int]], **kw) -> dict[int, int]:
     df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
-    out = CL.connected_components(df).collect()
+    out = CL.connected_components(df, **kw).collect()
     return {r["node"]: r["component"] for r in out}
 
 
@@ -49,6 +49,28 @@ def test_matches_union_find_oracle(spark):
     pairs = [((i * 37) % 400, (i * 91 + 13) % 400) for i in range(260)]
     pairs = [(a, b) for a, b in pairs if a != b]
     assert _run(spark, pairs) == _uf_components(pairs)
+
+
+def test_distributed_path_equals_driver_path(spark):
+    # driver_cap=0 forces the full large-star/small-star iteration; the
+    # default short-circuits through the driver union-find — labels
+    # must be identical
+    pairs = [((i * 37) % 400, (i * 91 + 13) % 400) for i in range(260)]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    assert _run(spark, pairs, driver_cap=0) == _run(spark, pairs)
+
+
+def test_distributed_path_chain_and_strings(spark):
+    chain = [(i, i + 1) for i in range(10, 14)]
+    assert _run(spark, chain, driver_cap=0) == {n: 10 for n in range(10, 15)}
+    df = spark.createDataFrame(
+        [("b", "c"), ("a", "b")], "doc_a string, doc_b string"
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in CL.connected_components(df, driver_cap=0).collect()
+    }
+    assert got == {"a": "a", "b": "a", "c": "a"}
 
 
 def test_reversed_and_duplicate_edges(spark):
