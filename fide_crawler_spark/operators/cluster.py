@@ -21,12 +21,13 @@ Both steps are a groupBy-min plus a join back onto the edge list — NO
 ``collect_list`` of neighbour sets, so a popular node (the min of a
 giant component) never materialises its whole neighbourhood in one
 task; fan-out stays bounded by the join's hash partitioning.  The
-driver only ever sees two scalars per iteration (edge count + edge-set
-checksum) for the convergence test; per-iteration ``localCheckpoint``
-truncates the exponentially-growing lineage that iterative DataFrame
-algorithms otherwise accumulate (at cluster scale point
-``spark.sparkContext.setCheckpointDir`` at durable storage and swap in
-``checkpoint()``).
+driver sees two scalars per iteration (edge count + edge-set checksum)
+for the convergence test, plus one bounded collect of the residual
+edges once they shrink under ``driver_cap`` (the union-find finisher);
+per-iteration ``localCheckpoint`` truncates the exponentially-growing
+lineage that iterative DataFrame algorithms otherwise accumulate (at
+cluster scale point ``spark.sparkContext.setCheckpointDir`` at durable
+storage and swap in ``checkpoint()``).
 
 Reference parity: the reference crawler has no clustering step (its
 dedup is the exact 5-col drop_duplicates at
