@@ -209,3 +209,34 @@ def compression_ratio(docs: DataFrame, text_col: str = "text", level: int = 6) -
         score,
         "doc_id long, n_bytes int, n_compressed int, compression_ratio double",
     )
+
+
+def quantile_filter(
+    docs: DataFrame,
+    score_col: Column | str,
+    q: float,
+    keep: str = "above",
+    exact: bool = False,
+) -> DataFrame:
+    """Keep rows whose ``score_col`` is >= (``keep='above'``) or <=
+    (``'below'``) the corpus q-quantile of that score — the standard
+    "drop the worst decile" curation gate.
+
+    The threshold is ONE row (an aggregate) broadcast-cross-joined back
+    onto the corpus — never a window, so the corpus itself only streams
+    through a filter.  ``exact=False`` (default) uses
+    ``approx_percentile`` — the mergeable-sketch form that is the only
+    sane choice at 10^10 rows; ``exact=True`` buffers values in the
+    aggregate (linear-interpolated percentile, engine-portable) and
+    exists for oracle-checkable runs and small corpora.
+    """
+    assert 0.0 <= q <= 1.0 and keep in ("above", "below")
+    col = F.col(score_col) if isinstance(score_col, str) else score_col
+    agg = (
+        F.percentile(col, F.lit(q)) if exact else F.percentile_approx(col, F.lit(q))
+    )
+    thr = docs.agg(agg.alias("__thr"))
+    cond = (
+        (col >= F.col("__thr")) if keep == "above" else (col <= F.col("__thr"))
+    )
+    return docs.crossJoin(F.broadcast(thr)).filter(cond).drop("__thr")

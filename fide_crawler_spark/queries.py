@@ -2547,3 +2547,41 @@ def q67_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(_M31_SQL),
         ).alias("q_checksum"),
     ).orderBy("vec_id")
+
+
+@query(
+    "q68_quantile_filter",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS DOUBLE) AS n,
+             CAST(len(list_filter(string_split(text, ' '),
+                                  x -> list_contains({_STOP_SQL}, x))) AS DOUBLE) AS n_stop,
+             CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS n_dist
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id,
+             FLOOR((0.4 * LEAST(n / 64.0, 1.0)
+                    + 0.3 * LEAST(n_stop / GREATEST(n, 1.0) * 4, 1.0)
+                    + 0.3 * (1.0 - (1.0 - n_dist / GREATEST(n, 1.0))))
+                   * 10000 + 0.5)
+               / 10000 AS qs
+      FROM t
+    ),
+    thr AS (SELECT quantile_cont(qs, 0.9) AS v FROM r)
+    SELECT doc_id, qs AS quality_score FROM r CROSS JOIN thr
+    WHERE qs >= v ORDER BY doc_id
+    """,
+)
+def q68_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile gating (textstats.quantile_filter): keep docs at or
+    above the corpus p90 of quality_score.  exact=True (linear
+    interpolation, same formula as quantile_cont) for the oracle; the
+    scale path is the approx_percentile sketch."""
+    scored = TS.quality_score(load(spark, sf_dir, "documents")).select(
+        "doc_id", "quality_score"
+    )
+    return TS.quantile_filter(scored, "quality_score", 0.9, exact=True).orderBy(
+        "doc_id"
+    )

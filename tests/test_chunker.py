@@ -90,3 +90,24 @@ def test_compression_ratio_matches_zlib(spark):
         )
     # the repetitive doc compresses far better than the diverse one
     assert got[0][2] < got[1][2]
+
+
+def test_quantile_filter_above_below(spark):
+    from fide_crawler_spark.operators.textstats import quantile_filter
+
+    docs = spark.createDataFrame(
+        [(i, float(i)) for i in range(100)], "doc_id long, s double"
+    )
+    hi = sorted(
+        r["doc_id"] for r in quantile_filter(docs, "s", 0.9, exact=True).collect()
+    )
+    # p90 of 0..99 (linear interp) = 89.1 -> keep 90..99
+    assert hi == list(range(90, 100))
+    lo = sorted(
+        r["doc_id"]
+        for r in quantile_filter(docs, "s", 0.1, keep="below", exact=True).collect()
+    )
+    assert lo == list(range(0, 10))
+    # approx path returns a superset/subset near the same cut, same schema
+    ap = quantile_filter(docs, "s", 0.9).collect()
+    assert {r["doc_id"] for r in ap} and all(r["s"] >= 85 for r in ap)
