@@ -150,3 +150,29 @@ def dedup_stream(
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         list(key_cols)
     )
+
+
+def session_counts(events: DataFrame, gap: str = "30 minutes",
+                   watermark: str | None = "2 hours") -> DataFrame:
+    """Per-user session aggregation via ``session_window`` — the
+    built-in merging-window operator (sessions close after ``gap`` of
+    inactivity).  The SAME expression runs batch and streaming; in
+    streaming the watermark lets closed sessions finalize and their
+    state drop.  The batch analog computed by hand is
+    queries.q41_sessionize (gaps-and-islands window) — session ids
+    differ in representation, but (user, start, n, sum) agree."""
+    src = events.withWatermark("ts", watermark) if watermark and events.isStreaming else events
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.floor(F.sum("value") * 10000 + F.lit(0.5)) / 10000).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )

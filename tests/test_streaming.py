@@ -84,3 +84,30 @@ def test_stream_dedup_across_microbatches(spark, sf_dir, tmp_path):
     ).collect()
     want = batch.select("event_id").distinct().orderBy("event_id").collect()
     assert [r["event_id"] for r in got] == [r["event_id"] for r in want]
+
+
+def test_session_window_stream_equals_batch(spark, sf_dir):
+    import os
+
+    from fide_crawler_spark.streaming.pipeline import (
+        read_events_stream,
+        run_to_memory,
+        session_counts,
+    )
+
+    path = os.path.join(sf_dir, "events.parquet")
+    batch = session_counts(spark.read.parquet(path))
+    run_to_memory(
+        session_counts(read_events_stream(spark, path)),
+        "session_stream_t",
+        output_mode="complete",
+    )
+    cols = ["user_id", "session_start", "session_end", "n_events", "sum_value"]
+    got = [tuple(r) for r in spark.sql(
+        "SELECT user_id, session_start, session_end, n_events, sum_value "
+        "FROM session_stream_t ORDER BY user_id, session_start"
+    ).collect()]
+    want = [tuple(r) for r in batch.select(*cols).orderBy(
+        "user_id", "session_start"
+    ).collect()]
+    assert got == want and len(got) > 0
