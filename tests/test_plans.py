@@ -204,3 +204,33 @@ def test_bucketed_dedup_index_join_shuffles_batch_only(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         spark.sql("DROP TABLE IF EXISTS corpus_bands_bkt")
+
+
+def test_partition_pruning_on_partitioned_write(spark, tmp_path, sf_dir):
+    """Hive-style day-partitioned layout: a day-equality filter must
+    appear as PartitionFilters on the scan (directory pruning — the
+    scan never opens the other days' files), while a residual row
+    filter stays a PushedFilter."""
+    import os
+
+    from fide_crawler_spark.plans import formatted_plan
+
+    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    d = str(tmp_path / "events_by_day")
+    events.withColumn("day", F.to_date("ts")).write.mode("overwrite").partitionBy(
+        "day"
+    ).parquet(d)
+
+    one_day = spark.read.parquet(d).filter(
+        (F.col("day") == "2024-01-03") & (F.col("value") > 10)
+    )
+    plan = formatted_plan(one_day)
+    assert "PartitionFilters" in plan and "2024-01-03" in plan, plan[:1500]
+    assert "PushedFilters" in plan and "GreaterThan(value,10" in plan, plan[:1500]
+    # pruning is real: the pruned scan reads exactly the rows of that day
+    assert (
+        one_day.count()
+        == events.filter(
+            (F.to_date("ts") == "2024-01-03") & (F.col("value") > 10)
+        ).count()
+    )
