@@ -8,9 +8,19 @@ order-insensitive value-hash → CORRECTNESS_r{N}.json).
 Implementation lives in ``fide_crawler_spark/`` (see SURVEY.md §2 for
 the operator inventory each query exercises).  The hash-family dedup
 entries are oracled via the md5h bridge (dedup.md5h — bit-identical in
-DuckDB).  The 3 entries without an oracle_sql are genuinely
-non-SQL-expressible (the crawl pipeline, approximate IVF ANN, seed
-search) and are checked by pytest sequential/planted/recall oracles.
+DuckDB).  The 4 entries without an oracle_sql are genuinely
+non-SQL-expressible (q35 crawl pipeline, q32 approximate IVF ANN,
+q47 seed search, q66 compression ratio whose zlib signal has no SQL
+equivalent) and are checked by pytest sequential/planted/recall/zlib
+oracles instead.
+
+``queries()`` returns the catalog in a deliberate order: the driver's
+correctness harness records the first 50 entries, so the round-3
+additions q50–q68 (locally oracle-verified but never driver-recorded)
+are placed directly after a small set of continuity anchors; the
+rotated-out veterans all hold green CORRECTNESS_r03 rows and keep
+their local DuckDB-compare tests (tests/test_queries_oracle.py runs
+ALL oracled pairs regardless of order).
 """
 
 from __future__ import annotations
@@ -37,9 +47,30 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["flagship_last3_days"](spark, "/root/testdata/sf0.001")
 
 
+# Continuity anchors: driver-green since round 1-3, kept inside the
+# 50-entry window so every round's CORRECTNESS file shares a comparable
+# core with the previous rounds'.
+_ANCHORS = [
+    "flagship_last3_days", "q1_pricing_summary", "q5_broadcast_join_revenue",
+    "q9_window_dedup_keepfirst", "q29_minhash_lsh_candidates",
+    "q31_embedding_neardup", "q45_player_profiles", "q48_asof_join",
+]
+# Round-3 additions that have local DuckDB oracles but no driver row yet.
+_NEVER_CHECKED = [
+    n for n in QUERIES
+    if n[0] == "q" and n[1:3].isdigit() and 50 <= int(n[1:3]) <= 68
+]
+
+
+def _ordered_names() -> list[str]:
+    seen = set(_ANCHORS) | set(_NEVER_CHECKED)
+    rest = [n for n in QUERIES if n not in seen]
+    return _ANCHORS + _NEVER_CHECKED + rest
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(QUERIES)
+    return {n: QUERIES[n] for n in _ordered_names()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(ORACLE)
+    return {n: ORACLE[n] for n in _ordered_names() if n in ORACLE}

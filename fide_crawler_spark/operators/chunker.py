@@ -34,12 +34,21 @@ def chunk_documents(
     positions; the final window may be short (never empty).  A doc
     shorter than one chunk yields exactly one chunk = itself.
     Deterministic: chunk_id = start // step.
+
+    Starts run only while ``start < max(n - overlap, 1)``: a start that
+    lands within ``overlap`` tokens of the doc end would emit a window
+    wholly contained in the previous chunk (its tokens are exactly the
+    previous window's overlap suffix), which only injects duplicate
+    text into training shards.  E.g. a 60-token doc at 64/8 emits one
+    chunk, not a 4-token tail duplicating chunk 0's suffix.
     """
     assert chunk_tokens > 0 and 0 <= overlap < chunk_tokens
     step = chunk_tokens - overlap
     toks = F.split(F.col(text_col), " ")
     n = F.size(toks)
-    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(step))
+    starts = F.sequence(
+        F.lit(0), F.greatest(n - overlap - 1, F.lit(0)), F.lit(step)
+    )
     return (
         docs.select(
             F.col(id_col),

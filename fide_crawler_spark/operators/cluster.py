@@ -30,9 +30,11 @@ cluster scale point ``spark.sparkContext.setCheckpointDir`` at durable
 storage and swap in ``checkpoint()``).
 
 Reference parity: the reference crawler has no clustering step (its
-dedup is the exact 5-col drop_duplicates at
-``data_processing/pgn_generator.py``); this operator extends the
-training-data pipeline family the same way MinHash/SimHash do.
+dedup is the exact 5-col keep-first delete at
+``database/database_management.py:56-71`` and the pandas
+drop_duplicates at ``data_processing/data_fetching_processing.py:249-255``);
+this operator extends the training-data pipeline family the same way
+MinHash/SimHash do.
 """
 
 from __future__ import annotations

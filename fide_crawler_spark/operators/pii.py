@@ -15,8 +15,10 @@ linear-time guarantee is itself a scale feature: a pathological page
 cannot DoS the scrubber the way catastrophic backtracking can).
 
 Reference parity: the reference crawler stores raw scraped text with
-no redaction pass (data_processing/html_parser.py); this extends the
-text-pipeline family per the brief's training-data mandate.
+no redaction pass (the parse path at
+data_processing/data_fetching_processing.py:247-258 writes fields
+verbatim); this extends the text-pipeline family per the brief's
+training-data mandate.
 """
 
 from __future__ import annotations

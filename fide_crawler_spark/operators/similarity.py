@@ -75,17 +75,28 @@ def kmeans_cells(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     lloyd_iters: int = 2,
+    refine_fraction: float = 0.25,
 ) -> tuple[DataFrame, np.ndarray]:
     """IVF cell assignment: seeded-sample centroids refined by
-    ``lloyd_iters`` distributed k-means rounds (spherical — centroids
-    renormalized each round), then a final vectorized argmax
-    assignment.
+    ``lloyd_iters`` distributed *spherical* k-means rounds, then ONE
+    final vectorized argmax assignment over the full corpus.
 
-    The refinement is pure JVM aggregation: ``posexplode(vec)`` →
-    ``groupBy(cell, dim).avg`` — one shuffle of (n_cells × dim) partial
-    sums per round, and only the (n_cells × dim) mean table ever
-    reaches the driver.  No per-cell applyInPandas (a hot cell would be
-    one task); the mean is computed dimension-wise so it streams."""
+    Scale shape: the Lloyd rounds run on a deterministic hash-sample
+    (``refine_fraction`` of the corpus, md5-threshold filter — no
+    shuffle, stable under any partitioning), so the full corpus flows
+    through the Python assignment exactly once, at the end.  At 10⁹+
+    vectors centroid refinement only needs a representative sample;
+    paying a full-corpus pass per Lloyd round is pure waste.
+
+    Spherical update: each row is unit-normalized JVM-side (divide by
+    its own norm inside the ``transform`` before ``posexplode``) so the
+    dimension-wise mean is a mean of directions — a high-norm vector no
+    longer dominates the centroid.  Refinement is pure JVM aggregation:
+    one shuffle of (n_cells × dim) partial sums per round, and only the
+    (n_cells × dim) mean table ever reaches the driver.  No per-cell
+    applyInPandas (a hot cell would be one task)."""
+    from fide_crawler_spark.operators.sampling import hash_sample
+
     sample = emb.select(vec_col).orderBy(F.xxhash64(id_col)).limit(n_cells).collect()
     centroids = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in sample])
 
@@ -109,12 +120,20 @@ def kmeans_cells(
         return assign
 
     schema = f"{id_col} bigint, {vec_col} array<float>, cell int"
+    refine_src = hash_sample(
+        emb.select(id_col, vec_col), refine_fraction, key_col=id_col,
+        salt="lloyd",
+    )
+    if lloyd_iters > 0:
+        refine_src = refine_src.localCheckpoint(eager=False)
     for _ in range(max(0, lloyd_iters)):
-        assigned = emb.select(id_col, vec_col).mapInPandas(
-            assigner(cunit), schema=schema
+        assigned = refine_src.mapInPandas(assigner(cunit), schema=schema)
+        nrm = F.greatest(_norm(F.col(vec_col)), F.lit(1e-12))
+        unit_vec = F.transform(
+            F.col(vec_col), lambda x: x.cast("double") / nrm
         )
         means = (
-            assigned.select("cell", F.posexplode(vec_col).alias("dim", "x"))
+            assigned.select("cell", F.posexplode(unit_vec).alias("dim", "x"))
             .groupBy("cell", "dim")
             .agg(F.avg("x").alias("mu"))
             .collect()
@@ -143,13 +162,15 @@ def ann_topk_ivf(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     lloyd_iters: int = 2,
+    refine_fraction: float = 0.25,
 ) -> DataFrame:
     """IVF ANN: score only vectors in the n_probe cells nearest the
     query.  At cluster scale ``assigned`` is a materialized table
     partitioned by cell → partition pruning makes the probe a
     fractional scan."""
     assigned, cunit = kmeans_cells(
-        emb, n_cells, seed, id_col, vec_col, lloyd_iters=lloyd_iters
+        emb, n_cells, seed, id_col, vec_col, lloyd_iters=lloyd_iters,
+        refine_fraction=refine_fraction,
     )
     q = np.asarray(query_vec, dtype=np.float64)
     qn = np.linalg.norm(q) or 1.0

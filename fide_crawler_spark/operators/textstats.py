@@ -125,15 +125,21 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
 def corpus_ngram_topk(docs: DataFrame, n: int = 2, k: int = 20) -> DataFrame:
     """Corpus-level top-k word n-grams — the vocabulary/BPE-prep sweep.
     Counts DOC FREQUENCY (shingles_col dedups within a doc).  Classic
-    word-count shape: explode → partial-combined count → one shuffle on
-    the gram → TakeOrderedAndProject (no global sort).  Ties broken by
-    the gram itself so the top-k is total-ordered."""
+    word-count shape: explode → partial-combined count → one shuffle —
+    keyed on ``xxhash64(gram)`` (8-byte fixed-width key instead of a
+    variable-length string, as ngram_jaccard_pairs already does; the
+    display gram rides along as a ``min`` aggregate) →
+    TakeOrderedAndProject (no global sort).  Ties broken by the gram
+    itself so the top-k is total-ordered.  A 64-bit gram collision
+    would merge two counts at P≈2⁻⁶⁴ per pair — negligible against the
+    approximation already inherent in vocabulary sweeps."""
     from fide_crawler_spark.operators.dedup import shingles_col
 
     grams = docs.select(F.explode(shingles_col(n=n)).alias("gram"))
     return (
-        grams.groupBy("gram")
-        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        grams.groupBy(F.xxhash64("gram").alias("__gh"))
+        .agg(F.min("gram").alias("gram"), F.count(F.lit(1)).alias("doc_freq"))
+        .select("gram", "doc_freq")
         .orderBy(F.desc("doc_freq"), F.asc("gram"))
         .limit(k)
     )

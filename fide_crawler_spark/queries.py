@@ -2279,7 +2279,7 @@ from fide_crawler_spark.operators import chunker as CH  # noqa: E402
     ),
     s AS (
       SELECT doc_id, l, n,
-             unnest(generate_series(0, GREATEST(n - 1, 0), 56)) AS start
+             unnest(generate_series(0, GREATEST(n - 9, 0), 56)) AS start
       FROM t
     )
     SELECT doc_id,
@@ -2294,7 +2294,10 @@ def q62_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence prep (chunker.chunk_documents): 64-token windows with
     8-token overlap (step 56) — sequence → posexplode → slice, one
     codegen'd projection, no shuffle.  Oracle replays via
-    generate_series + list_slice."""
+    generate_series + list_slice; its upper bound GREATEST(n-9,0) is
+    n - overlap - 1, matching the suppression of trailing overlap-only
+    windows (a start within 8 tokens of the end duplicates the prior
+    chunk's suffix)."""
     return CH.chunk_documents(
         load(spark, sf_dir, "documents"), chunk_tokens=64, overlap=8
     ).orderBy("doc_id", "chunk_id")
@@ -2341,7 +2344,7 @@ def q62_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     s AS (
       SELECT doc_id, n,
-             unnest(generate_series(0, GREATEST(n - 1, 0), 56)) AS start
+             unnest(generate_series(0, GREATEST(n - 9, 0), 56)) AS start
       FROM t2
     ),
     ch AS (

@@ -11,7 +11,9 @@ def _py_chunks(text: str, chunk: int, overlap: int):
     toks = text.split(" ")
     step = chunk - overlap
     out = []
-    for cid, start in enumerate(range(0, max(len(toks), 1), step)):
+    # starts run only while start < max(n - overlap, 1): a start within
+    # `overlap` of the end would duplicate the previous chunk's suffix
+    for cid, start in enumerate(range(0, max(len(toks) - overlap, 1), step)):
         win = toks[start : start + chunk]
         out.append((cid, len(win), " ".join(win)))
     return out
