@@ -22,13 +22,18 @@ Env:
                        tiny test fixture)
   BENCH_SKIP_CRAWL     set to skip the crawl scaling runs (query-only)
   BENCH_SKIP_DEEP      set to skip the deep tier (heavy dedup family)
-  BENCH_BEST_OF        repeats per PINNED run; best (min sec) is
-                       reported (default 3).  Contention on a shared
-                       host only ever slows a run, so best-of-N
-                       estimates capability; output checksums must be
-                       identical across every repeat or the bench
-                       aborts.  The unpinned full-machine run stays
-                       single-shot (it is reported, not gated).
+  BENCH_BEST_OF        repeats per measured leg (default 3): each
+                       headline/deep query, each pinned crawl leg, and
+                       the unpinned full-machine leg are all run
+                       BEST_OF times with the best (min sec) reported.
+                       Contention on a shared host only ever slows a
+                       run, so best-of-N estimates capability; crawl
+                       output checksums must be identical across every
+                       repeat or the bench aborts.  The headline
+                       scaling efficiency is the matched pair whose 4N
+                       leg was fastest (max(pair ratios) is biased
+                       upward under one-sided noise); the median pair
+                       is published alongside.
 
 Prints ONE JSON line:
   {"metric": ..., "value": <total query sec>, "unit": "sec",
@@ -88,18 +93,26 @@ DEEP = [
 ]
 
 
-def _run_suite(spark, names: list[str]) -> dict[str, float]:
+def _run_suite(spark, names: list[str], repeats: int = 1) -> dict[str, float]:
+    """Each query timed ``repeats`` times; min is reported (same
+    rationale as the crawl tier's best-of-N: shared-host contention
+    only ever slows a run, so min estimates capability — the round-3
+    artifact shipped a single draw and a ~11% tier-wide VM-drift
+    inflation was indistinguishable from a code regression)."""
     from fide_crawler_spark.queries import QUERIES
 
     out: dict[str, float] = {}
     for name in names:
-        t0 = time.time()
-        df = QUERIES[name](spark, SF_DIR)
-        # noop sink: full materialization of every output column —
-        # count() would let Catalyst prune the very expressions being
-        # benchmarked (aggregates, regex, window columns)
-        df.write.format("noop").mode("overwrite").save()
-        out[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(max(1, repeats)):
+            t0 = time.time()
+            df = QUERIES[name](spark, SF_DIR)
+            # noop sink: full materialization of every output column —
+            # count() would let Catalyst prune the very expressions
+            # being benchmarked (aggregates, regex, window columns)
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        out[name] = round(best, 3)
     return out
 
 
@@ -120,8 +133,12 @@ def bench_queries() -> tuple[dict[str, float], dict[str, float]]:
     spark.range(32).repartition(CPUS).mapInPandas(
         lambda it: it, schema="id long"
     ).write.format("noop").mode("overwrite").save()
-    headline = _run_suite(spark, HEADLINE)
-    deep = {} if os.environ.get("BENCH_SKIP_DEEP") else _run_suite(spark, DEEP)
+    headline = _run_suite(spark, HEADLINE, repeats=BEST_OF)
+    deep = (
+        {}
+        if os.environ.get("BENCH_SKIP_DEEP")
+        else _run_suite(spark, DEEP, repeats=BEST_OF)
+    )
     stop_spark()
     return headline, deep
 
@@ -224,8 +241,21 @@ def main() -> None:
     if not os.environ.get("BENCH_SKIP_CRAWL"):
         ceiling = host_ceiling()
         r2, r8, pair_effs = crawl_pairs(BEST_OF)
-        r32 = crawl_run(32, pin=False)
-        eff_raw = max(pair_effs)
+        r32 = min(
+            (crawl_run(32, pin=False) for _ in range(BEST_OF)),
+            key=lambda r: r["sec"],
+        )
+        # Headline = the efficiency of the pair whose 4N leg was the
+        # FASTEST (capability run), not max(pair ratios): a ratio max is
+        # biased upward under one-sided noise — a slow N leg inflates
+        # its pair's efficiency without the 4N leg being any better.
+        # The median is published alongside as the robust central draw.
+        fastest_idx = min(
+            range(len(pair_effs)),
+            key=lambda i: r8["sec_repeats"][i],
+        )
+        eff_raw = pair_effs[fastest_idx]
+        eff_median = sorted(pair_effs)[len(pair_effs) // 2]
         result["crawl"] = {
             "urls": r2["urls"],
             "page_weight": PAGE_WEIGHT,
@@ -239,10 +269,13 @@ def main() -> None:
             "urls_per_sec_n2": round(r2["urls"] / r2["sec"], 1),
             "urls_per_sec_n8": round(r8["urls"] / r8["sec"], 1),
             "urls_per_sec_full_machine": r32["urls_per_sec"],
-            # best MATCHED-pair efficiency (each pair = adjacent N/4N
-            # runs under the same machine conditions); every pair is
-            # listed so a reader sees the spread, not just the best
+            # MATCHED-pair efficiency (each pair = adjacent N/4N runs
+            # under the same machine conditions): headline = the pair
+            # whose 4N leg ran fastest; every pair is listed so a
+            # reader sees the spread, and the median is the robust
+            # central draw
             "scaling_efficiency_n_to_4n": eff_raw,
+            "pair_efficiency_median": eff_median,
             "pair_efficiencies": pair_effs,
             **ceiling,
             # the engine's N→4N ratio as a fraction of what the SAME

@@ -14,8 +14,13 @@ Two fetchers behind one interface:
 * ``synthetic`` (default) — pure function of the URL via
   ``fixtures.render_page``; deterministic, no network, used by all
   tests and benchmarks.
-* ``http`` — real ``urllib`` GET with timeout; present so the engine is
-  a complete crawler, but never exercised in this sandbox.
+* ``http`` — real ``urllib`` GET with timeout (default 10 s, matching
+  the reference's socket timeout at
+  ``old_scripts/fide-games-scraper-public.py:22``); exercised without
+  network by an in-process ``http.server`` fixture
+  (tests/test_fetcher_http.py) that serves the same deterministic
+  payloads, asserting span-sequence equality with the synthetic path
+  plus 404 / timeout → ``status='failed'`` behavior.
 """
 
 from __future__ import annotations
@@ -51,7 +56,10 @@ def _http_fetch_batch(urls: pd.Series, timeout: float = 10.0) -> pd.DataFrame:
 
 
 def fetch_stage(
-    frontier_batch: DataFrame, mode: str = "synthetic", weight: int = 1
+    frontier_batch: DataFrame,
+    mode: str = "synthetic",
+    weight: int = 1,
+    timeout: float = 10.0,
 ) -> DataFrame:
     """frontier rows (must contain ``url``) → (url, status, page).
 
@@ -63,7 +71,7 @@ def fetch_stage(
     if mode == "synthetic":
         fetch = lambda urls: _synthetic_fetch_batch(urls, weight)  # noqa: E731
     else:
-        fetch = _http_fetch_batch
+        fetch = lambda urls: _http_fetch_batch(urls, timeout)  # noqa: E731
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -152,6 +152,100 @@ def dedup_stream(
     )
 
 
+DOCS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+    ]
+)
+
+
+def read_docs_stream(spark: SparkSession, path: str, max_files: int = 1) -> DataFrame:
+    """Micro-batches of incoming documents (one parquet file per
+    trigger — the continuous-ingest shape of a crawl's parse output)."""
+    return (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(path)
+    )
+
+
+def start_incremental_dedup_stream(
+    spark: SparkSession,
+    docs_path: str,
+    state_dir: str,
+    checkpoint: str,
+    threshold: float = 0.8,
+    k: int = 16,
+    bands: int = 4,
+    max_files: int = 1,
+):
+    """Streaming near-dup dedup against a persisted corpus index.
+
+    Completes the dedup family's streaming story: each micro-batch of
+    new documents is deduped (a) within itself and (b) against every
+    document that ever survived, via ``dedup.incremental_dedup`` over
+    the persisted ``banded_signatures`` index — batch × corpus LSH
+    join, NEVER corpus × corpus, so per-trigger cost is linear in the
+    trigger regardless of how much history has accumulated (the only
+    shape that survives an unbounded stream).
+
+    State layout under ``state_dir`` (both append-only parquet — at
+    cluster scale these are Iceberg appends):
+      * ``corpus/``   — surviving (doc_id, text); read back ONLY to
+        re-shingle the handful of LSH-colliding docs during verify;
+      * ``bands/``    — the (doc, band_id, band_hash) LSH index; new
+        batches join against this, corpus text is never re-hashed.
+    Survivors are appended to ``survivors/`` as they are admitted.
+
+    Determinism: micro-batch boundaries ARE semantics for streaming
+    dedup (an earlier-arriving near-dup dominates later arrivals), so
+    the contract asserted in tests is stream ≡ the sequential batch
+    loop over the same chunks in the same order.
+    """
+    import os
+
+    from fide_crawler_spark.operators.dedup import (
+        banded_signatures,
+        incremental_dedup,
+    )
+
+    corpus_path = os.path.join(state_dir, "corpus")
+    bands_path = os.path.join(state_dir, "bands")
+    out_path = os.path.join(state_dir, "survivors")
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.localCheckpoint()  # pin: joined twice below
+        if os.path.isdir(corpus_path):
+            corpus = spark.read.parquet(corpus_path)
+            cb = spark.read.parquet(bands_path)
+            survivors = incremental_dedup(
+                batch_df, corpus, threshold=threshold, k=k, bands=bands,
+                corpus_bands=cb,
+            )
+        else:
+            from fide_crawler_spark.operators.dedup import minhash_dedup
+
+            survivors = minhash_dedup(
+                batch_df, threshold=threshold, k=k, bands=bands
+            )
+        survivors = survivors.localCheckpoint()  # written to 3 sinks
+        survivors.write.mode("append").parquet(corpus_path)
+        banded_signatures(survivors, k=k, bands=bands).write.mode(
+            "append"
+        ).parquet(bands_path)
+        survivors.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(out_path)
+
+    return (
+        read_docs_stream(spark, docs_path, max_files)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
 def session_counts(events: DataFrame, gap: str = "30 minutes",
                    watermark: str | None = "2 hours") -> DataFrame:
     """Per-user session aggregation via ``session_window`` — the
