@@ -2588,3 +2588,85 @@ def q68_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TS.quantile_filter(scored, "quality_score", 0.9, exact=True).orderBy(
         "doc_id"
     )
+
+
+from fide_crawler_spark.operators import enrich as EN  # noqa: E402
+
+
+@query(
+    "q69_dgt_enrichment",
+    """
+    WITH cat AS (
+      SELECT 'https://lichess.org/broadcast/'
+               || replace(lower(r_name), ' ', '-') AS link,
+             'Event: ' || r_name AS title,
+             r_regionkey AS pos
+      FROM region
+      UNION ALL
+      SELECT 'https://example.com/not-an-event', 'junk', 99
+    ),
+    cand AS (
+      SELECT link, title, pos,
+             replace(substr(link, len('https://lichess.org/broadcast/') + 1),
+                     '-', ' ') AS slug
+      FROM cat
+      WHERE link LIKE 'https://lichess.org/broadcast/%'
+    ),
+    scored AS (
+      SELECT n_name, title, link, pos,
+             (LENGTH(lower(n_name)) + LENGTH(slug)
+              - 2 * levenshtein(lower(n_name), slug))
+             / CAST(LENGTH(lower(n_name)) + LENGTH(slug) AS DOUBLE) AS ratio
+      FROM nation CROSS JOIN cand
+    ),
+    best AS (
+      SELECT n_name, title, link, ratio,
+             ROW_NUMBER() OVER (
+               PARTITION BY n_name ORDER BY ratio DESC, pos ASC
+             ) AS rn
+      FROM scored WHERE ratio > 0
+    )
+    SELECT n.n_name,
+           CASE WHEN b.n_name IS NULL THEN 0 ELSE 1 END AS dgt,
+           COALESCE(b.title, '') AS dgt_title,
+           COALESCE(b.link, '') AS dgt_link,
+           FLOOR(COALESCE(b.ratio, 0.0) * 10000 + 0.5) / 10000
+             AS dgt_accuracy
+    FROM nation n LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+      ON n.n_name = b.n_name
+    ORDER BY n.n_name
+    """,
+)
+def q69_dgt_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 data-plane: best-match catalog enrichment
+    (enrich.best_match_enrich — the DGT loop's filter→clean→score→
+    keep-first-max, old_scripts/fide-games-scraper-public.py:116-165)
+    over a deterministic event catalog built from region names; one
+    non-event link verifies the allowlist filter."""
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    catalog = region.select(
+        F.concat(
+            F.lit("https://lichess.org/broadcast/"),
+            F.replace(F.lower("r_name"), F.lit(" "), F.lit("-")),
+        ).alias("link"),
+        F.concat(F.lit("Event: "), F.col("r_name")).alias("title"),
+        F.col("r_regionkey").cast("long").alias("pos"),
+    ).unionByName(
+        spark.createDataFrame(
+            [("https://example.com/not-an-event", "junk", 99)],
+            "link string, title string, pos long",
+        )
+    )
+    out = EN.best_match_enrich(
+        nation.select("n_name"), catalog, key_col="n_name"
+    )
+    return out.select(
+        "n_name",
+        F.col("dgt").cast("int").alias("dgt"),
+        "dgt_title",
+        "dgt_link",
+        (F.floor(F.col("dgt_accuracy") * 10000 + F.lit(0.5)) / 10000).alias(
+            "dgt_accuracy"
+        ),
+    ).orderBy("n_name")

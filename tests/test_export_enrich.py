@@ -1,0 +1,195 @@
+"""Export surfaces (worksheet CSV / SQLite .db / JSON config) and the
+DGT best-match enrichment vs a pure-Python replay of the reference
+loop's semantics."""
+
+from __future__ import annotations
+
+import csv
+import glob
+import json
+import os
+import sqlite3
+
+import pytest
+
+from fide_crawler_spark.operators.enrich import (
+    EVENT_PREFIXES,
+    best_match_enrich,
+    clean_event_link,
+)
+from fide_crawler_spark.sources.export import (
+    load_localization,
+    sqlite_export,
+    worksheet_export,
+)
+
+LOCALIZATION_JSON = "/root/reference/localization/localization.json"
+
+
+# ---------------------------------------------------------------- sqlite
+
+
+def test_sqlite_export_roundtrip(spark, tmp_path):
+    db = str(tmp_path / "out.db")
+    games = spark.createDataFrame(
+        [(1, "Open A", 2650.5, None), (2, "Open B", 2700.0, "w")],
+        "id long, tournament string, rating double, result string",
+    )
+    counts = sqlite_export({"game_history": games, "empty": games.limit(0)}, db)
+    assert counts == {"game_history": 2, "empty": 0}
+    with sqlite3.connect(db) as con:
+        rows = con.execute(
+            "SELECT id, tournament, rating, result FROM game_history ORDER BY id"
+        ).fetchall()
+        assert rows == [(1, "Open A", 2650.5, None), (2, "Open B", 2700.0, "w")]
+        types = {
+            r[1]: r[2]
+            for r in con.execute("PRAGMA table_info(game_history)").fetchall()
+        }
+        assert types == {
+            "id": "INTEGER",
+            "tournament": "TEXT",
+            "rating": "REAL",
+            "result": "TEXT",
+        }
+
+
+def test_sqlite_export_refuses_unbounded(spark, tmp_path):
+    big = spark.range(100)
+    with pytest.raises(ValueError, match="max_rows_per_table"):
+        sqlite_export({"facts": big}, str(tmp_path / "x.db"), max_rows_per_table=10)
+
+
+# ------------------------------------------------------------- worksheet
+
+
+def test_worksheet_export_layout_and_order(spark, tmp_path):
+    out = str(tmp_path / "sheets")
+    df = spark.createDataFrame(
+        [("alice", 3, "c"), ("bob", 1, "a"), ("alice", 1, "a"), ("alice", 2, "b")],
+        "player string, round long, res string",
+    )
+    worksheet_export(df, out, sheet_col="player", order_by=["round"])
+    sheets = sorted(os.path.basename(p) for p in glob.glob(f"{out}/player=*"))
+    assert sheets == ["player=alice", "player=bob"]
+    files = glob.glob(f"{out}/player=alice/*.csv")
+    assert len(files) == 1  # one worksheet file per key
+    with open(files[0]) as f:
+        rows = list(csv.reader(f))
+    assert rows[0] == ["round", "res"]  # header row, sheet col lifted to dir
+    assert [r[0] for r in rows[1:]] == ["1", "2", "3"]  # deterministic order
+    # re-run = clear + rewrite (reference worksheet.clear())
+    worksheet_export(df.filter("player = 'bob'"), out, "player", ["round"])
+    assert sorted(
+        os.path.basename(p) for p in glob.glob(f"{out}/player=*")
+    ) == ["player=bob"]
+
+
+# ---------------------------------------------------------------- config
+
+
+def test_load_localization_matches_json(spark):
+    ref = json.load(open(LOCALIZATION_JSON, encoding="utf-8"))
+    df = load_localization(spark, LOCALIZATION_JSON)
+    got = {(r["lang"], r["key"]): r["text"] for r in df.collect()}
+    want = {
+        (lang, key): text
+        for lang, kv in ref.items()
+        for key, text in kv.items()
+    }
+    assert got == want
+    # broadcast-join-ready: one row per (lang, key)
+    assert len(got) == df.count()
+
+
+# ---------------------------------------------------------------- enrich
+
+
+def _ratio(a: str, b: str) -> float:
+    # lev.ratio = (la+lb-2*dist)/(la+lb) when the optimal alignment is
+    # substitution-only; the operator uses the JVM levenshtein form, so
+    # the python replay uses the same formula
+    la, lb = len(a), len(b)
+
+    # Wagner-Fischer edit distance
+    prev = list(range(lb + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i] + [0] * lb
+        for j, cb in enumerate(b, 1):
+            cur[j] = min(
+                prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)
+            )
+        prev = cur
+    return (la + lb - 2 * prev[lb]) / (la + lb)
+
+
+def _py_best_match(tournaments, results):
+    out = {}
+    for t in tournaments:
+        text = t.lower()
+        dgt, title, link, max_ratio = 0, "", "", 0.0
+        for pos, (rlink, rtitle) in enumerate(results):
+            slug = None
+            for p in EVENT_PREFIXES:
+                if rlink.startswith(p):
+                    slug = rlink[len(p):].replace("-", " ")
+                    break
+            if slug is None:
+                continue
+            r = _ratio(text, slug)
+            if r > max_ratio:  # strict: first max wins ties
+                dgt, title, link, max_ratio = 1, rtitle, rlink, r
+        out[t] = (dgt, title, link, round(max_ratio, 4))
+    return out
+
+
+def test_clean_event_link_prefixes(spark):
+    from pyspark.sql import functions as F
+
+    links = [(p + "tata-steel-2024",) for p in EVENT_PREFIXES] + [
+        ("https://example.com/tata-steel-2024",),
+        ("https://www.chess.com/eventsish/nope",),
+    ]
+    df = spark.createDataFrame(links, "link string")
+    got = [
+        r["slug"]
+        for r in df.select(
+            clean_event_link(F.col("link")).alias("slug")
+        ).collect()
+    ]
+    assert got == ["tata steel 2024"] * len(EVENT_PREFIXES) + [None, None]
+
+
+def test_best_match_enrich_matches_python_loop(spark):
+    tournaments = [
+        "Tata Steel 2024",
+        "candidates 2024",
+        "Completely Unrelated Zzz Qqq",
+    ]
+    results = [
+        ("https://www.chess.com/events/tata-steel-2024", "Tata Steel Chess"),
+        ("https://lichess.org/broadcast/tata-steel-2024", "Tata on Lichess"),
+        ("https://example.com/tata-steel-2024", "not an event site"),
+        ("https://lichess.org/broadcast/candidates-2024", "Candidates"),
+    ]
+    facts = spark.createDataFrame(
+        [(t,) for t in tournaments], "tournament_name string"
+    )
+    catalog = spark.createDataFrame(
+        [(link, title, pos) for pos, (link, title) in enumerate(results)],
+        "link string, title string, pos long",
+    )
+    got = {
+        r["tournament_name"]: (
+            r["dgt"],
+            r["dgt_title"],
+            r["dgt_link"],
+            round(r["dgt_accuracy"], 4),
+        )
+        for r in best_match_enrich(facts, catalog).collect()
+    }
+    want = _py_best_match(tournaments, results)
+    assert got == want
+    # the tie case: chess.com and lichess links clean to the SAME slug
+    # with equal ratios — the earlier result (pos 0) must win
+    assert got["Tata Steel 2024"][2] == results[0][0]
