@@ -5,9 +5,11 @@
   (``zip_with`` + ``aggregate``): fully codegen'd, no Python, scales as
   one scan + TakeOrderedAndProject (no full sort).
 * ``ann_topk_ivf`` — IVF-style approximate variant: vectors are
-  pre-assigned to ``n_cells`` centroid cells (seeded k-means-- one
-  pass); queries probe only the ``n_probe`` nearest cells.  The scale
-  path: cell assignment partitions/clusters the table so a query scans
+  pre-assigned to ``n_cells`` centroid cells (seeded spherical k-means
+  refined on a deterministic hash-sample; the full corpus passes
+  through the Python assignment exactly once); queries probe only the
+  ``n_probe`` nearest cells.  The scale path: cell assignment
+  partitions/clusters the table so a query scans
   |table| × n_probe / n_cells.
 """
 

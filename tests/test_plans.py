@@ -234,3 +234,15 @@ def test_partition_pruning_on_partitioned_write(spark, tmp_path, sf_dir):
             (F.to_date("ts") == "2024-01-03") & (F.col("value") > 10)
         ).count()
     )
+
+
+def test_enrich_catalog_is_broadcast_and_jvm_only(spark, sf_dir):
+    """q69: the candidate catalog must broadcast (never shuffle the
+    fact keys against it) and the whole score/argmax path must stay
+    JVM-side — levenshtein is a built-in, no Python-eval nodes."""
+    from fide_crawler_spark.plans import formatted_plan
+
+    df = QUERIES["q69_dgt_enrichment"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert has_broadcast_join(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

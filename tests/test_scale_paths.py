@@ -124,3 +124,34 @@ def test_pack_shards_rejects_fractional_token_type(spark):
     )
     with pytest.raises(TypeError, match="integral"):
         pack_shards(docs, "n_tokens", 100, [F.col("doc_id").asc()])
+
+
+def test_best_match_enrich_scales_with_distinct_keys(spark):
+    """500k fact rows but only 200 distinct keys: the scoring cross
+    join is |distinct keys| x |catalog| (not |facts| x |catalog| — the
+    reference loops per fact row), the catalog side broadcasts, and
+    every fact row still comes back enriched."""
+    from fide_crawler_spark.operators.enrich import best_match_enrich
+    from fide_crawler_spark.plans import formatted_plan
+
+    facts = spark.range(500_000).select(
+        F.concat(F.lit("event "), (F.col("id") % 200).cast("string")).alias(
+            "tournament_name"
+        )
+    )
+    catalog = spark.range(100).select(
+        F.concat(
+            F.lit("https://lichess.org/broadcast/event-"),
+            (F.col("id") * 2).cast("string"),
+        ).alias("link"),
+        F.concat(F.lit("Event "), F.col("id").cast("string")).alias("title"),
+        F.col("id").alias("pos"),
+    )
+    out = best_match_enrich(facts, catalog)
+    assert "BroadcastExchange" in formatted_plan(out)
+    assert out.count() == 500_000
+    # every even key matches its slug exactly (accuracy 1.0)
+    exact = out.filter(
+        (F.col("tournament_name") == "event 42") & (F.col("dgt") == 1)
+    ).limit(1).collect()
+    assert exact and abs(exact[0]["dgt_accuracy"] - 1.0) < 1e-9
