@@ -117,7 +117,9 @@ def best_match_enrich(
         "dgt_accuracy",
     )
     return (
-        facts.join(enriched, key_col, "left")
+        # `enriched` is |distinct keys| rows (catalog-matched subset) —
+        # broadcast it so the fact table never shuffles for the join
+        facts.join(F.broadcast(enriched), key_col, "left")
         .withColumn("dgt", F.coalesce("dgt", F.lit(0)))
         .withColumn("dgt_title", F.coalesce("dgt_title", F.lit("")))
         .withColumn("dgt_link", F.coalesce("dgt_link", F.lit("")))

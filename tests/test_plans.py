@@ -244,5 +244,8 @@ def test_enrich_catalog_is_broadcast_and_jvm_only(spark, sf_dir):
 
     df = QUERIES["q69_dgt_enrichment"](spark, sf_dir)
     plan = formatted_plan(df)
+    # the catalog cross join builds on the broadcast (small) side, and
+    # the per-key best table broadcasts back onto the facts
+    assert "BroadcastNestedLoopJoin" in plan and "BuildRight" in plan
     assert has_broadcast_join(df)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
