@@ -1,0 +1,117 @@
+"""Line-level boilerplate removal — strip lines shared across many
+documents (cookie banners, nav bars, footers) before training.
+
+The CCNet preprocessing insight (Wenzek et al., "CCNet: Extracting
+High Quality Monolingual Datasets from Web Crawl Data", 2019):
+paragraph/line-level duplication across documents is almost always
+template boilerplate, and removing it both deduplicates and improves
+text quality.  The reference crawler stores page text verbatim (its
+parse at data_processing/data_fetching_processing.py:122-205 keeps
+every row); this extends the text-pipeline family per the brief's
+training-data mandate.
+
+Scale shape (100 TB corpus):
+
+* lines are keyed by ``xxhash64(line)`` — 8-byte fixed keys, never the
+  line text, ride the frequency shuffle (same discipline as
+  ngram_jaccard / corpus_ngram_topk);
+* doc-frequency = two partial-combined grouped aggregates (dedupe
+  (line_key, doc) then count) — no COUNT DISTINCT expansion;
+* stripping is a co-keyed LEFT ANTI join of exploded lines against the
+  boilerplate key set (broadcastable when small, shuffle-join when the
+  template set is heavy-tailed — AQE decides);
+* reassembly groups by doc — per-task memory is bounded by document
+  size, the same bound the parse stage already holds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _line_key(line: Column, portable: bool) -> Column:
+    if portable:
+        from fide_crawler_spark.operators.dedup import md5h
+
+        return md5h(line)
+    return F.xxhash64(line)
+
+
+def line_doc_freq(
+    docs: DataFrame,
+    delimiter: str = "\n",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    portable: bool = False,
+) -> DataFrame:
+    """(line_key, line, doc_freq): how many DOCUMENTS contain each
+    line (a line repeated within one doc counts once).  ``portable``
+    keys by md5h for DuckDB-reproducible runs; production keys by
+    xxhash64."""
+    lines = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), delimiter)).alias("line"),
+    )
+    per_doc = (
+        lines.select(
+            id_col, _line_key(F.col("line"), portable).alias("line_key"), "line"
+        )
+        .groupBy("line_key", id_col)
+        .agg(F.min("line").alias("line"))
+    )
+    return per_doc.groupBy("line_key").agg(
+        F.min("line").alias("line"),
+        F.count(F.lit(1)).alias("doc_freq"),
+    )
+
+
+def strip_boilerplate(
+    docs: DataFrame,
+    min_doc_freq: int = 2,
+    delimiter: str = "\n",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    portable: bool = False,
+) -> DataFrame:
+    """Remove every line whose doc-frequency ≥ ``min_doc_freq``;
+    remaining lines are reassembled in their original order.  Output:
+    (id, n_lines_before, n_lines_after, cleaned_text); a doc that was
+    pure boilerplate survives with cleaned_text='' and 0 lines (the
+    quality gate downstream drops it — this operator only removes
+    lines, never rows)."""
+    boiler = (
+        line_doc_freq(docs, delimiter, id_col, text_col, portable)
+        .filter(F.col("doc_freq") >= min_doc_freq)
+        .select("line_key")
+    )
+    exploded = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), delimiter)).alias("pos", "line"),
+    ).withColumn("line_key", _line_key(F.col("line"), portable))
+    kept = exploded.join(boiler, "line_key", "left_anti")
+    reassembled = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_lines_after"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            delimiter,
+        ).alias("cleaned_text"),
+    )
+    base = docs.select(
+        id_col,
+        F.size(F.split(F.col(text_col), delimiter)).alias("n_lines_before"),
+    )
+    return (
+        base.join(reassembled, id_col, "left")
+        .select(
+            id_col,
+            F.col("n_lines_before").cast("int").alias("n_lines_before"),
+            F.coalesce("n_lines_after", F.lit(0))
+            .cast("int")
+            .alias("n_lines_after"),
+            F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+        )
+    )

@@ -143,3 +143,32 @@ def group_split(
     return docs.withColumn(
         "split", F.when(h < thr, "holdout").otherwise("train")
     )
+
+
+def deterministic_shuffle(
+    docs: DataFrame, key_col: str = "doc_id", salt: str = ""
+) -> DataFrame:
+    """Global deterministic training-order shuffle: rows permuted by
+    md5h(key‖salt) — the same order on every run, engine, and
+    parallelism (training-data pipelines need reshufflable-but-
+    reproducible epoch order; changing ``salt`` draws an independent
+    permutation, e.g. one per epoch).
+
+    Adds ``shuffle_pos`` (1-based).  Scale shape: a range-partitioned
+    sort on the 60-bit hash plus the two-pass global rank
+    (rank.grouped_rank with no groups) — NO row_number window, which
+    would serialize the whole corpus into one task.  The unique
+    ``key_col`` tie-break makes the permutation total, so output is
+    byte-stable under any partitioning.
+    """
+    from fide_crawler_spark.operators.dedup import md5h
+    from fide_crawler_spark.operators.rank import grouped_rank
+
+    h = md5h(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
+    ranked = grouped_rank(
+        docs.withColumn("__sh", h),
+        [],
+        [F.col("__sh").asc(), F.col(key_col).asc()],
+        rank_col="shuffle_pos",
+    )
+    return ranked.drop("__sh")

@@ -2670,3 +2670,111 @@ def q69_dgt_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dgt_accuracy"
         ),
     ).orderBy("n_name")
+
+
+from fide_crawler_spark.operators import boilerplate as BP  # noqa: E402
+
+
+@query(
+    "q70_boilerplate_strip",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS l,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    ),
+    lined AS (
+      SELECT doc_id,
+             array_to_string(
+               list_transform(
+                 generate_series(0, CAST(CEIL(n / 8.0) AS BIGINT) - 1),
+                 i -> array_to_string(list_slice(l, i * 8 + 1, i * 8 + 8), ' ')
+               ), chr(10)) AS text
+      FROM toks
+    ),
+    lines AS (
+      SELECT doc_id,
+             unnest(string_split(text, chr(10))) AS line,
+             unnest(generate_series(1, len(string_split(text, chr(10)))))
+               AS pos
+      FROM lined
+    ),
+    freq AS (
+      SELECT line, COUNT(DISTINCT doc_id) AS doc_freq
+      FROM lines GROUP BY line
+    ),
+    kept AS (
+      SELECT l.doc_id, l.line, l.pos
+      FROM lines l JOIN freq f USING (line)
+      WHERE f.doc_freq < 2
+    ),
+    agg AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS INT) AS n_lines_after,
+             string_agg(line, chr(10) ORDER BY pos) AS cleaned_text
+      FROM kept GROUP BY doc_id
+    )
+    SELECT ld.doc_id,
+           CAST(len(string_split(ld.text, chr(10))) AS INT) AS n_lines_before,
+           COALESCE(a.n_lines_after, 0) AS n_lines_after,
+           COALESCE(a.cleaned_text, '') AS cleaned_text
+    FROM lined ld LEFT JOIN agg a USING (doc_id)
+    ORDER BY ld.doc_id
+    """,
+)
+def q70_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level boilerplate removal (boilerplate.strip_boilerplate,
+    CCNet-style): documents reshaped into 8-token lines, lines present
+    in ≥2 docs stripped, remainder reassembled in order.  The operator
+    keys lines by xxhash64 (8-byte shuffle keys); the oracle groups by
+    the line string — identical output barring 2⁻⁶⁴ collisions, the
+    same discipline q54/q24 already carry."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    lined = docs.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.sequence(
+                    F.lit(0), F.ceil(n / F.lit(8.0)).cast("long") - 1
+                ),
+                lambda i: F.array_join(
+                    F.slice(toks, i * 8 + 1, 8), " "
+                ),
+            ),
+            "\n",
+        ).alias("text"),
+    )
+    return BP.strip_boilerplate(lined, min_doc_freq=2, delimiter="\n").orderBy(
+        "doc_id"
+    )
+
+
+@query(
+    "q71_deterministic_shuffle",
+    """
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (
+             ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'epoch0'),
+                                      1, 15))::BIGINT ASC,
+                      doc_id ASC
+           ) AS BIGINT) AS shuffle_pos
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def q71_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order shuffle
+    (sampling.deterministic_shuffle): global permutation by
+    md5h(doc_id‖'epoch0') realized as the two-pass range-partitioned
+    rank — no row_number window; the oracle replays it with
+    ROW_NUMBER over the same md5h bridge."""
+    from fide_crawler_spark.operators.sampling import deterministic_shuffle
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    return (
+        deterministic_shuffle(docs, key_col="doc_id", salt="epoch0")
+        .select("doc_id", F.col("shuffle_pos").cast("long").alias("shuffle_pos"))
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,72 @@
+"""Boilerplate stripping on planted templates + deterministic shuffle
+stability."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fide_crawler_spark.operators.boilerplate import (
+    line_doc_freq,
+    strip_boilerplate,
+)
+from fide_crawler_spark.operators.sampling import deterministic_shuffle
+
+BANNER = "ACCEPT COOKIES TO CONTINUE"
+FOOTER = "copyright example corp"
+
+
+def _docs(spark):
+    rows = [
+        (0, f"{BANNER}\nunique zero line\n{FOOTER}"),
+        (1, f"{BANNER}\nunique one line\nanother one\n{FOOTER}"),
+        (2, f"{BANNER}\n{FOOTER}"),                       # pure boilerplate
+        (3, "totally unique doc\nwith two lines"),
+        (4, f"repeated inside\nrepeated inside\n{FOOTER}"),  # within-doc dup
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string"), rows
+
+
+def test_line_doc_freq_counts_documents_not_occurrences(spark):
+    docs, _ = _docs(spark)
+    freq = {
+        r["line"]: r["doc_freq"] for r in line_doc_freq(docs).collect()
+    }
+    assert freq[BANNER] == 3 and freq[FOOTER] == 4
+    # within-doc repetition counts once
+    assert freq["repeated inside"] == 1
+
+
+def test_strip_boilerplate_planted(spark):
+    docs, _ = _docs(spark)
+    out = {
+        r["doc_id"]: (r["n_lines_before"], r["n_lines_after"], r["cleaned_text"])
+        for r in strip_boilerplate(docs, min_doc_freq=2).collect()
+    }
+    assert out[0] == (3, 1, "unique zero line")
+    assert out[1] == (4, 2, "unique one line\nanother one")
+    assert out[2] == (2, 0, "")              # row survives, lines don't
+    assert out[3] == (2, 2, "totally unique doc\nwith two lines")
+    # a line repeated only WITHIN one doc is not boilerplate — both
+    # copies survive, order preserved
+    assert out[4] == (3, 2, "repeated inside\nrepeated inside")
+
+
+def test_strip_boilerplate_portable_equals_hashed(spark):
+    docs, _ = _docs(spark)
+    a = strip_boilerplate(docs, min_doc_freq=2, portable=False).collect()
+    b = strip_boilerplate(docs, min_doc_freq=2, portable=True).collect()
+    key = lambda rows: sorted((r["doc_id"], r["cleaned_text"]) for r in rows)  # noqa: E731
+    assert key(a) == key(b)
+
+
+def test_deterministic_shuffle_is_total_and_stable(spark):
+    docs = spark.range(1000).select(F.col("id").alias("doc_id"))
+    a = deterministic_shuffle(docs, salt="s1")
+    pos = {r["doc_id"]: r["shuffle_pos"] for r in a.collect()}
+    assert sorted(pos.values()) == list(range(1, 1001))  # a true permutation
+    # stable across partitioning
+    b = deterministic_shuffle(docs.repartition(17), salt="s1")
+    assert pos == {r["doc_id"]: r["shuffle_pos"] for r in b.collect()}
+    # a different salt draws a different permutation
+    c = deterministic_shuffle(docs, salt="s2")
+    assert pos != {r["doc_id"]: r["shuffle_pos"] for r in c.collect()}
