@@ -124,3 +124,49 @@ def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
             F.col("meta.n_bytes").alias("n_bytes"),
         ),
     )
+
+
+def frame_sample(
+    media: DataFrame,
+    frame_bytes: int = 64,
+    every_k: int = 4,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Sample every ``every_k``-th fixed-size frame from an opaque
+    video payload: (id, frame_idx, n_frames, frame binary).
+
+    The deterministic fake codec treats the payload as ``n_frames``
+    concatenated ``frame_bytes``-byte frames (a real container needs
+    ffmpeg — not in this image; the real kernel would slot into
+    ``decode_media``'s mapInPandas shape).  The SAMPLING plumbing is
+    fully real and, unlike a codec, needs no Python at all: frame
+    index generation is ``sequence`` + ``posexplode`` and the byte
+    slice is ``Column.substr`` on the binary column — one codegen'd
+    projection, zero shuffle, output co-partitioned with the input.
+    Only sampled frames ever materialize as rows (a 2-hour video at
+    every_k=120 fans out 1/120th of its frames, not all of them).
+    """
+    assert frame_bytes > 0 and every_k > 0
+    payload = F.col(payload_col)
+    n_frames = F.floor(F.length(payload) / F.lit(frame_bytes)).cast("int")
+    idxs = F.sequence(
+        F.lit(0), F.greatest(n_frames - 1, F.lit(0)), F.lit(every_k)
+    )
+    return (
+        media.select(
+            F.col(id_col),
+            payload.alias("__payload"),
+            n_frames.alias("n_frames"),
+            F.posexplode(idxs).alias("__p", "frame_idx"),
+        )
+        .filter(F.col("frame_idx") < F.col("n_frames"))
+        .select(
+            id_col,
+            F.col("frame_idx").cast("int").alias("frame_idx"),
+            "n_frames",
+            F.col("__payload")
+            .substr(F.col("frame_idx") * frame_bytes + 1, F.lit(frame_bytes))
+            .alias("frame"),
+        )
+    )

@@ -2778,3 +2778,48 @@ def q71_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("shuffle_pos").cast("long").alias("shuffle_pos"))
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q72_frame_sample",
+    """
+    WITH v AS (
+      SELECT doc_id, text,
+             CAST(FLOOR(LENGTH(text) / 32.0) AS INT) AS n_frames
+      FROM documents
+    ),
+    idx AS (
+      SELECT doc_id, n_frames,
+             unnest(generate_series(0, GREATEST(n_frames - 1, 0), 4))
+               AS frame_idx
+      FROM v
+    )
+    SELECT i.doc_id,
+           CAST(i.frame_idx AS INT) AS frame_idx,
+           i.n_frames,
+           substr(v.text, i.frame_idx * 32 + 1, 32) AS frame_text
+    FROM idx i JOIN v USING (doc_id)
+    WHERE i.frame_idx < i.n_frames
+    ORDER BY i.doc_id, frame_idx
+    """,
+)
+def q72_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over opaque binary payloads
+    (multimodal.frame_sample): every 4th 32-byte frame — sequence →
+    posexplode → Column.substr on BINARY, one codegen'd projection,
+    zero shuffle, no Python.  The payload here is the doc text cast to
+    binary (ASCII), so the oracle replays the byte slices with substr
+    on the string; the output frame is cast back to string for the
+    engine-portable compare."""
+    from fide_crawler_spark.operators.multimodal import frame_sample
+
+    media = load(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    out = frame_sample(media, frame_bytes=32, every_k=4)
+    return out.select(
+        "doc_id",
+        "frame_idx",
+        "n_frames",
+        F.col("frame").cast("string").alias("frame_text"),
+    ).orderBy("doc_id", "frame_idx")

@@ -70,3 +70,40 @@ def test_deterministic_shuffle_is_total_and_stable(spark):
     # a different salt draws a different permutation
     c = deterministic_shuffle(docs, salt="s2")
     assert pos != {r["doc_id"]: r["shuffle_pos"] for r in c.collect()}
+
+
+def test_frame_sample_matches_python_slices(spark):
+    from fide_crawler_spark.operators.multimodal import frame_sample
+
+    payloads = {
+        0: bytes(range(256)),          # 4 full 64-byte frames
+        1: b"x" * 100,                 # 1 full frame + dropped partial tail
+        2: b"s",                       # shorter than one frame -> no rows
+    }
+    media = spark.createDataFrame(
+        [(k, bytearray(v)) for k, v in payloads.items()],
+        "doc_id long, payload binary",
+    )
+    got = {
+        (r["doc_id"], r["frame_idx"]): (r["n_frames"], bytes(r["frame"]))
+        for r in frame_sample(media, frame_bytes=64, every_k=2).collect()
+    }
+    want = {}
+    for d, p in payloads.items():
+        n = len(p) // 64
+        for i in range(0, n, 2):
+            want[(d, i)] = (n, p[i * 64 : (i + 1) * 64])
+    assert got == want
+    assert (2, 0) not in got  # sub-frame payload emits nothing
+
+
+def test_frame_sample_is_jvm_only(spark):
+    from fide_crawler_spark.operators.multimodal import frame_sample
+    from fide_crawler_spark.plans import formatted_plan
+
+    media = spark.createDataFrame(
+        [(0, b"y" * 256)], "doc_id long, payload binary"
+    )
+    plan = formatted_plan(frame_sample(media))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan  # zero shuffle, stays co-partitioned
