@@ -81,6 +81,9 @@ HEADLINE = [
     "q52_decontamination",   # broadcast benchmark semi-join (new r3)
     "q57_bm25_search",       # inverted-index BM25 top-k (new r3)
     "q59_mixture_sample",    # broadcast-rate mixture filter (new r3)
+    "q69_dgt_enrichment",    # double-broadcast best-match join (new r4)
+    "q70_boilerplate_strip", # hash-keyed line dedup + reassembly (new r4)
+    "q71_deterministic_shuffle",  # two-pass global rank (new r4)
 ]
 
 # deep tier: the heavy dedup family at sf0.1 — slower, but regressions
