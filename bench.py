@@ -22,6 +22,7 @@ Env:
                        tiny test fixture)
   BENCH_SKIP_CRAWL     set to skip the crawl scaling runs (query-only)
   BENCH_SKIP_DEEP      set to skip the deep tier (heavy dedup family)
+  BENCH_SKIP_QUERIES   set to skip the query suite (crawl-only)
   BENCH_BEST_OF        repeats per measured leg (default 3): each
                        headline/deep query, each pinned crawl leg, and
                        the unpinned full-machine leg are all run
@@ -229,7 +230,10 @@ def crawl_pairs(n: int) -> tuple[dict, dict, list[float]]:
 
 
 def main() -> None:
-    queries, deep = bench_queries()
+    if os.environ.get("BENCH_SKIP_QUERIES"):
+        queries, deep = {}, {}
+    else:
+        queries, deep = bench_queries()
     result = {
         "metric": (
             "frontier-dequeue→fetch→span-emit throughput + headline query suite"
