@@ -91,7 +91,13 @@ def ngram_jaccard_pairs(
     join.  Dropping shingles with doc-frequency > max_doc_freq bounds
     per-key fan-out; the resulting Jaccard is then computed over the
     pruned shingle space (an approximation — standard prefix-filtering
-    practice — so it is opt-in and the default stays exact)."""
+    practice — so it is opt-in and the default stays exact).
+
+    (Measured non-win: an EXACT df≥2 prefilter — singleton shingles
+    can't form pairs — ran ~25% slower at the sf0.1 bench because this
+    corpus has almost no singletons (207 of 27k shingles), so the
+    extra aggregate+semi-join outweighs the discarded join rows.
+    Worth revisiting only on corpora with heavy singleton tails.)"""
     sh = docs.select(
         F.col(id_col).alias("doc"), shingles_col(n=n).alias("sh")
     ).withColumn("n_sh", F.size("sh"))
