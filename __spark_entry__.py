@@ -15,12 +15,14 @@ equivalent) and are checked by pytest sequential/planted/recall/zlib
 oracles instead.
 
 ``queries()`` returns the catalog in a deliberate order: the driver's
-correctness harness records the first 50 entries, so the round-3
-additions q50–q68 (locally oracle-verified but never driver-recorded)
-are placed directly after a small set of continuity anchors; the
-rotated-out veterans all hold green CORRECTNESS_r03 rows and keep
-their local DuckDB-compare tests (tests/test_queries_oracle.py runs
-ALL oracled pairs regardless of order).
+correctness harness records the first 50 entries, and the 73-entry
+catalog is rotated round-to-round so every entry holds a driver row
+(rounds 1-4 union: 69/73).  Round 5's window = continuity anchors +
+q69-q72 (the only never-driver-checked entries) + the veterans whose
+newest rows are CORRECTNESS_r03 + the head of the catalog; the
+rotated-out entries all hold green CORRECTNESS_r04 rows and keep their
+local DuckDB-compare tests (tests/test_queries_oracle.py runs ALL
+oracled pairs regardless of order).
 """
 
 from __future__ import annotations
@@ -55,17 +57,26 @@ _ANCHORS = [
     "q9_window_dedup_keepfirst", "q29_minhash_lsh_candidates",
     "q31_embedding_neardup", "q45_player_profiles", "q48_asof_join",
 ]
-# Round-3 additions that have local DuckDB oracles but no driver row yet.
+# Round-4 additions: the only catalog entries with no driver row in any
+# round (locally oracle-green; rounds 1-4 recorded the other 69/73).
 _NEVER_CHECKED = [
     n for n in QUERIES
-    if n[0] == "q" and n[1:3].isdigit() and 50 <= int(n[1:3]) <= 68
+    if n[0] == "q" and n[1:3].isdigit() and 69 <= int(n[1:3]) <= 72
+]
+# Veterans rotated OUT of the round-4 window (their newest driver rows
+# are CORRECTNESS_r03): back in-window this round for a fresh row, ahead
+# of the q50-q68 block whose rows are the newer CORRECTNESS_r04.
+_REFRESH = [
+    n for n in QUERIES
+    if n[0] == "q" and n[1:3].isdigit()
+    and int(n[1:3]) in {27, 28, 30, *range(32, 45), 46, 47, 49}
 ]
 
 
 def _ordered_names() -> list[str]:
-    seen = set(_ANCHORS) | set(_NEVER_CHECKED)
+    seen = set(_ANCHORS) | set(_NEVER_CHECKED) | set(_REFRESH)
     rest = [n for n in QUERIES if n not in seen]
-    return _ANCHORS + _NEVER_CHECKED + rest
+    return _ANCHORS + _NEVER_CHECKED + _REFRESH + rest
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -22,9 +22,11 @@ cleaning and the keep-first-max tie rule.
 Scale shape: the catalog is the SMALL side (search results / event
 registry — thousands of rows) and is broadcast; keys are first
 ``distinct``-reduced (the reference loops per game row, re-searching
-duplicate tournament names), scored catalog-wide in one codegen'd
-projection (no Python in the JVM pipeline — ``lev_ratio`` is the
-built-in ``levenshtein``), best-of taken with ``max_by`` (one grouped
+duplicate tournament names), scored catalog-wide in one pass over the
+distinct-key × candidate grid (exact ``lev.ratio`` by default — an
+Arrow-batched DP over the small grid; ``scorer="fast"`` swaps in the
+codegen'd built-in ``levenshtein`` form when SQL-expressibility
+matters), best-of taken with ``max_by`` (one grouped
 aggregate, no window), and joined back to the fact table by key.  The
 fact table shuffles once (the final join's build side is the tiny
 per-key best table, so with AQE it broadcasts and the fact table does
@@ -36,7 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from fide_crawler_spark.functions import lev_ratio
+from fide_crawler_spark.functions import lev_ratio, lev_ratio_exact
 
 # the reference's event-site allowlist (fide-games-scraper-public.py:136)
 EVENT_PREFIXES = [
@@ -71,6 +73,7 @@ def best_match_enrich(
     key_col: str = "tournament_name",
     link_col: str = "link",
     title_col: str = "title",
+    scorer: str = "exact",
 ) -> DataFrame:
     """facts + (dgt, dgt_title, dgt_link, dgt_accuracy) columns.
 
@@ -79,7 +82,20 @@ def best_match_enrich(
     keeps the first max, :144-146).  dgt=1 iff some event-site
     candidate scored > 0; unmatched keys keep dgt=0 with empty
     title/link and accuracy 0.0 (the reference's defaults, :125-128).
+
+    ``scorer``: ``"exact"`` (default) scores with
+    ``functions.lev_ratio_exact`` — bit-parity with the reference's
+    python-Levenshtein ``lev.ratio`` (2·LCS/(la+lb)), including
+    alignments that involve indels; the candidate set is
+    |distinct keys| × |event-site results|, so the Arrow-batched DP is
+    off the hot path.  ``"fast"`` uses the pure-JVM approximation
+    ``functions.lev_ratio`` ((la+lb−2·lev)/(la+lb)), which UNDER-scores
+    unequal-length pairs and can rank a different candidate first when
+    the optimal alignments differ in indel count — use it only when the
+    score must stay SQL-expressible (q69's DuckDB oracle) or every pair
+    is same-length.
     """
+    score_fn = {"exact": lev_ratio_exact, "fast": lev_ratio}[scorer]
     keys = facts.select(F.col(key_col)).distinct()
     cand = (
         catalog.select(
@@ -97,7 +113,7 @@ def best_match_enrich(
             "cand_title",
             "link_raw",
             "cand_pos",
-            lev_ratio(F.lower(F.col(key_col)), F.col("slug")).alias("ratio"),
+            score_fn(F.lower(F.col(key_col)), F.col("slug")).alias("ratio"),
         )
         .filter(F.col("ratio") > 0)
     )

@@ -2658,8 +2658,13 @@ def q69_dgt_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
             "link string, title string, pos long",
         )
     )
+    # scorer="fast": the JVM (la+lb-2*lev)/(la+lb) form, chosen here
+    # because it is expressible in the DuckDB oracle (levenshtein is
+    # built in; the exact 2*LCS/(la+lb) ratio is not).  The default
+    # exact scorer is pinned by tests/test_export_enrich.py against a
+    # true lev.ratio python replay, including indel-divergent pairs.
     out = EN.best_match_enrich(
-        nation.select("n_name"), catalog, key_col="n_name"
+        nation.select("n_name"), catalog, key_col="n_name", scorer="fast"
     )
     return out.select(
         "n_name",

@@ -67,42 +67,71 @@ def sqlite_export(
     the sanctioned driver-side collect is for RESULT tables (the
     reference's whole fide_data.db is a few hundred rows), never facts.
     Types: int→INTEGER, float→REAL, everything else TEXT (SQLite's own
-    affinity model); None passes through as NULL."""
+    affinity model); nested values (array/map/struct — Python
+    list/dict/Row) are JSON-encoded into their TEXT column; None passes
+    through as NULL.
+
+    Atomicity: writes to ``<path>.tmp`` and renames into place only
+    after every table committed — a failure mid-export (including the
+    max_rows guard firing on a later table) never leaves a partial .db
+    at the target path."""
+    import json
     import sqlite3
 
+    from pyspark.sql import Row
+
+    def encode(v):
+        if isinstance(v, Row):
+            return json.dumps(v.asDict(recursive=True), sort_keys=True)
+        if isinstance(v, (list, dict)):
+            return json.dumps(
+                [x.asDict(recursive=True) if isinstance(x, Row) else x for x in v]
+                if isinstance(v, list) else v,
+                sort_keys=True,
+            )
+        if isinstance(v, (bytes, bytearray)):
+            return v.hex()
+        return v
+
     counts: dict[str, int] = {}
-    if os.path.exists(path):
-        os.remove(path)
-    with sqlite3.connect(path) as con:
-        for name, df in tables.items():
-            # limit+1 probe: counts the guard without a full count()
-            rows = df.limit(max_rows_per_table + 1).collect()
-            if len(rows) > max_rows_per_table:
-                raise ValueError(
-                    f"table {name!r} exceeds max_rows_per_table="
-                    f"{max_rows_per_table}; export facts as parquet, "
-                    "not SQLite"
+    tmp = path + ".tmp"
+    if os.path.exists(tmp):
+        os.remove(tmp)
+    try:
+        with sqlite3.connect(tmp) as con:
+            for name, df in tables.items():
+                # limit+1 probe: counts the guard without a full count()
+                rows = df.limit(max_rows_per_table + 1).collect()
+                if len(rows) > max_rows_per_table:
+                    raise ValueError(
+                        f"table {name!r} exceeds max_rows_per_table="
+                        f"{max_rows_per_table}; export facts as parquet, "
+                        "not SQLite"
+                    )
+                cols = df.columns
+
+                def sql_type(dt: str) -> str:
+                    if dt in ("int", "bigint", "smallint", "tinyint"):
+                        return "INTEGER"
+                    if dt in ("double", "float"):
+                        return "REAL"
+                    return "TEXT"
+
+                decl = ", ".join(
+                    f'"{c}" {sql_type(t)}' for c, t in df.dtypes
                 )
-            cols = df.columns
-
-            def sql_type(dt: str) -> str:
-                if dt in ("int", "bigint", "smallint", "tinyint"):
-                    return "INTEGER"
-                if dt in ("double", "float"):
-                    return "REAL"
-                return "TEXT"
-
-            decl = ", ".join(
-                f'"{c}" {sql_type(t)}' for c, t in df.dtypes
-            )
-            con.execute(f'CREATE TABLE "{name}" ({decl})')
-            ph = ", ".join("?" * len(cols))
-            con.executemany(
-                f'INSERT INTO "{name}" VALUES ({ph})',
-                [tuple(r[c] for c in cols) for r in rows],
-            )
-            counts[name] = len(rows)
-        con.commit()
+                con.execute(f'CREATE TABLE "{name}" ({decl})')
+                ph = ", ".join("?" * len(cols))
+                con.executemany(
+                    f'INSERT INTO "{name}" VALUES ({ph})',
+                    [tuple(encode(r[c]) for c in cols) for r in rows],
+                )
+                counts[name] = len(rows)
+            con.commit()
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.remove(tmp)
     return counts
 
 

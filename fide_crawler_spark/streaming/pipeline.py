@@ -190,60 +190,127 @@ def start_incremental_dedup_stream(
     trigger regardless of how much history has accumulated (the only
     shape that survives an unbounded stream).
 
-    State layout under ``state_dir`` (both append-only parquet — at
-    cluster scale these are Iceberg appends):
+    State layout under ``state_dir`` (all parquet, partitioned by
+    ``batch_id=<n>`` subdirectories — at cluster scale these are
+    Iceberg appends with the batch id as a snapshot property):
       * ``corpus/``   — surviving (doc_id, text); read back ONLY to
         re-shingle the handful of LSH-colliding docs during verify;
       * ``bands/``    — the (doc, band_id, band_hash) LSH index; new
         batches join against this, corpus text is never re-hashed.
-    Survivors are appended to ``survivors/`` as they are admitted.
+    Survivors land in ``survivors/`` as they are admitted.
+
+    Exactly-once state updates on an at-least-once source: each batch
+    writes its three outputs into per-batch ``batch_id=<n>`` partition
+    directories (``mode=overwrite`` — a crashed half-written attempt is
+    replaced wholesale on replay), then atomically publishes a commit
+    marker under ``_commits/``.  Reads see only COMMITTED batch
+    partitions, so a replayed batch never finds its own half-committed
+    docs in the corpus (which would make it dedup against itself and
+    drop every survivor), and a crash between the corpus and bands
+    writes cannot leave the LSH index missing committed docs.  A replay
+    of a fully committed batch is a no-op.
 
     Determinism: micro-batch boundaries ARE semantics for streaming
     dedup (an earlier-arriving near-dup dominates later arrivals), so
     the contract asserted in tests is stream ≡ the sequential batch
     loop over the same chunks in the same order.
     """
-    import os
-
-    from fide_crawler_spark.operators.dedup import (
-        banded_signatures,
-        incremental_dedup,
+    process = make_incremental_dedup_processor(
+        spark, state_dir, threshold=threshold, k=k, bands=bands
     )
-
-    corpus_path = os.path.join(state_dir, "corpus")
-    bands_path = os.path.join(state_dir, "bands")
-    out_path = os.path.join(state_dir, "survivors")
-
-    def process(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df = batch_df.localCheckpoint()  # pin: joined twice below
-        if os.path.isdir(corpus_path):
-            corpus = spark.read.parquet(corpus_path)
-            cb = spark.read.parquet(bands_path)
-            survivors = incremental_dedup(
-                batch_df, corpus, threshold=threshold, k=k, bands=bands,
-                corpus_bands=cb,
-            )
-        else:
-            from fide_crawler_spark.operators.dedup import minhash_dedup
-
-            survivors = minhash_dedup(
-                batch_df, threshold=threshold, k=k, bands=bands
-            )
-        survivors = survivors.localCheckpoint()  # written to 3 sinks
-        survivors.write.mode("append").parquet(corpus_path)
-        banded_signatures(survivors, k=k, bands=bands).write.mode(
-            "append"
-        ).parquet(bands_path)
-        survivors.withColumn("batch_id", F.lit(batch_id)).write.mode(
-            "append"
-        ).parquet(out_path)
-
     return (
         read_docs_stream(spark, docs_path, max_files)
         .writeStream.foreachBatch(process)
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def make_incremental_dedup_processor(
+    spark: SparkSession,
+    state_dir: str,
+    threshold: float = 0.8,
+    k: int = 16,
+    bands: int = 4,
+):
+    """The ``foreachBatch`` body of the incremental dedup stream,
+    exposed as a factory so idempotency under batch replay is directly
+    testable (call it twice with the same ``batch_id``).
+
+    Commit protocol (see ``start_incremental_dedup_stream``): write the
+    batch's corpus/bands/survivors outputs into ``batch_id=<n>``
+    partition dirs with overwrite, then rename a ``_commits/batch-<n>``
+    marker into place.  Readers filter to committed batch ids (partition
+    pruning — uncommitted leftovers are never scanned).
+    """
+    import json
+    import os
+
+    from fide_crawler_spark.operators.dedup import (
+        banded_signatures,
+        incremental_dedup,
+        minhash_dedup,
+    )
+
+    corpus_path = os.path.join(state_dir, "corpus")
+    bands_path = os.path.join(state_dir, "bands")
+    out_path = os.path.join(state_dir, "survivors")
+    commits_dir = os.path.join(state_dir, "_commits")
+
+    def _committed_ids() -> list[int]:
+        if not os.path.isdir(commits_dir):
+            return []
+        return sorted(
+            int(f[len("batch-"):-len(".json")])
+            for f in os.listdir(commits_dir)
+            if f.startswith("batch-") and f.endswith(".json")
+        )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        marker = os.path.join(commits_dir, f"batch-{batch_id}.json")
+        if os.path.exists(marker):
+            return  # replayed, fully committed batch — no-op
+        committed = _committed_ids()
+        batch_df = batch_df.localCheckpoint()  # pin: joined twice below
+        if committed:
+            corpus = (
+                spark.read.parquet(corpus_path)
+                .filter(F.col("batch_id").isin(committed))
+                .drop("batch_id")
+            )
+            cb = (
+                spark.read.parquet(bands_path)
+                .filter(F.col("batch_id").isin(committed))
+                .drop("batch_id")
+            )
+            survivors = incremental_dedup(
+                batch_df, corpus, threshold=threshold, k=k, bands=bands,
+                corpus_bands=cb,
+            )
+        else:
+            survivors = minhash_dedup(
+                batch_df, threshold=threshold, k=k, bands=bands
+            )
+        survivors = survivors.localCheckpoint()  # written to 3 sinks
+        n = survivors.count()
+        part = f"batch_id={batch_id}"
+        survivors.write.mode("overwrite").parquet(
+            os.path.join(corpus_path, part)
+        )
+        banded_signatures(survivors, k=k, bands=bands).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(bands_path, part))
+        survivors.write.mode("overwrite").parquet(
+            os.path.join(out_path, part)
+        )
+        # publish: atomic rename AFTER all three writes succeeded
+        os.makedirs(commits_dir, exist_ok=True)
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"batch_id": batch_id, "survivors": n}, fh)
+        os.replace(tmp, marker)
+
+    return process
 
 
 def session_counts(events: DataFrame, gap: str = "30 minutes",

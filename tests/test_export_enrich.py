@@ -60,6 +60,39 @@ def test_sqlite_export_refuses_unbounded(spark, tmp_path):
         sqlite_export({"facts": big}, str(tmp_path / "x.db"), max_rows_per_table=10)
 
 
+def test_sqlite_export_nested_values_json_encoded(spark, tmp_path):
+    db = str(tmp_path / "nested.db")
+    df = spark.createDataFrame(
+        [(1, ["a", "b"], {"k": 2}, (3, "x"), bytearray(b"\x01\xff"))],
+        "id long, arr array<string>, m map<string,int>, "
+        "s struct<a:int,b:string>, blob binary",
+    )
+    sqlite_export({"t": df}, db)
+    with sqlite3.connect(db) as con:
+        row = con.execute("SELECT arr, m, s, blob FROM t").fetchone()
+    assert json.loads(row[0]) == ["a", "b"]
+    assert json.loads(row[1]) == {"k": 2}
+    assert json.loads(row[2]) == {"a": 3, "b": "x"}
+    assert row[3] == "01ff"
+
+
+def test_sqlite_export_failure_leaves_no_partial_db(spark, tmp_path):
+    """The max_rows guard firing on the SECOND table must not leave a
+    half-written .db (or .tmp) at the target path — atomic
+    temp+rename only publishes on full success."""
+    db = str(tmp_path / "atomic.db")
+    ok = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(ValueError, match="max_rows_per_table"):
+        sqlite_export(
+            {"small": ok, "big": spark.range(100)}, db, max_rows_per_table=10
+        )
+    assert not os.path.exists(db)
+    assert not os.path.exists(db + ".tmp")
+    # a later successful export to the same path works
+    assert sqlite_export({"small": ok}, db) == {"small": 1}
+    assert os.path.exists(db)
+
+
 # ------------------------------------------------------------- worksheet
 
 
@@ -105,13 +138,9 @@ def test_load_localization_matches_json(spark):
 # ---------------------------------------------------------------- enrich
 
 
-def _ratio(a: str, b: str) -> float:
-    # lev.ratio = (la+lb-2*dist)/(la+lb) when the optimal alignment is
-    # substitution-only; the operator uses the JVM levenshtein form, so
-    # the python replay uses the same formula
-    la, lb = len(a), len(b)
-
-    # Wagner-Fischer edit distance
+def _lev(a: str, b: str) -> int:
+    # Wagner-Fischer edit distance (unit costs)
+    lb = len(b)
     prev = list(range(lb + 1))
     for i, ca in enumerate(a, 1):
         cur = [i] + [0] * lb
@@ -120,10 +149,29 @@ def _ratio(a: str, b: str) -> float:
                 prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)
             )
         prev = cur
-    return (la + lb - 2 * prev[lb]) / (la + lb)
+    return prev[lb]
 
 
-def _py_best_match(tournaments, results):
+def _lcs(a: str, b: str) -> int:
+    prev = [0] * (len(b) + 1)
+    for ca in a:
+        cur = [0]
+        for j, cb in enumerate(b, 1):
+            cur.append(prev[j - 1] + 1 if ca == cb else max(prev[j], cur[j - 1]))
+        prev = cur
+    return prev[-1]
+
+
+def _ratio(a: str, b: str, scorer: str = "exact") -> float:
+    tot = len(a) + len(b)
+    if scorer == "exact":
+        # true python-Levenshtein lev.ratio: 2*LCS/(la+lb)
+        return 2.0 * _lcs(a, b) / tot if tot else 1.0
+    # the JVM approximation: (la+lb-2*lev)/(la+lb)
+    return (tot - 2 * _lev(a, b)) / tot
+
+
+def _py_best_match(tournaments, results, scorer: str = "exact"):
     out = {}
     for t in tournaments:
         text = t.lower()
@@ -136,7 +184,7 @@ def _py_best_match(tournaments, results):
                     break
             if slug is None:
                 continue
-            r = _ratio(text, slug)
+            r = _ratio(text, slug, scorer)
             if r > max_ratio:  # strict: first max wins ties
                 dgt, title, link, max_ratio = 1, rtitle, rlink, r
         out[t] = (dgt, title, link, round(max_ratio, 4))
@@ -179,20 +227,44 @@ def test_best_match_enrich_matches_python_loop(spark):
         [(link, title, pos) for pos, (link, title) in enumerate(results)],
         "link string, title string, pos long",
     )
-    got = {
-        r["tournament_name"]: (
-            r["dgt"],
-            r["dgt_title"],
-            r["dgt_link"],
-            round(r["dgt_accuracy"], 4),
-        )
-        for r in best_match_enrich(facts, catalog).collect()
-    }
-    want = _py_best_match(tournaments, results)
-    assert got == want
-    # the tie case: chess.com and lichess links clean to the SAME slug
-    # with equal ratios — the earlier result (pos 0) must win
-    assert got["Tata Steel 2024"][2] == results[0][0]
+    for scorer in ("exact", "fast"):
+        got = {
+            r["tournament_name"]: (
+                r["dgt"],
+                r["dgt_title"],
+                r["dgt_link"],
+                round(r["dgt_accuracy"], 4),
+            )
+            for r in best_match_enrich(facts, catalog, scorer=scorer).collect()
+        }
+        want = _py_best_match(tournaments, results, scorer)
+        assert got == want, scorer
+        # the tie case: chess.com and lichess links clean to the SAME
+        # slug with equal ratios — the earlier result (pos 0) must win
+        assert got["Tata Steel 2024"][2] == results[0][0]
+
+
+def test_best_match_exact_scorer_ranks_indel_pairs_like_reference(spark):
+    """The case the fast scorer gets WRONG (ADVICE r4): when optimal
+    alignments differ in indel count, (la+lb-2*lev)/(la+lb) under-scores
+    and can pick a different winner than the reference's lev.ratio.
+    key='ab': candidate 'axxxb' has lev.ratio 2*LCS/(2+5)=4/7 but fast
+    ratio (7-6)/7=1/7; candidate 'zb' scores 0.5 under both.  The
+    default exact scorer must rank 'axxxb' first (reference behavior);
+    fast demonstrably flips to 'zb'."""
+    facts = spark.createDataFrame([("ab",)], "tournament_name string")
+    catalog = spark.createDataFrame(
+        [
+            ("https://lichess.org/broadcast/axxxb", "indel-winner", 0),
+            ("https://lichess.org/broadcast/zb", "sub-winner", 1),
+        ],
+        "link string, title string, pos long",
+    )
+    exact = best_match_enrich(facts, catalog).first()
+    assert exact["dgt_title"] == "indel-winner"
+    assert round(exact["dgt_accuracy"], 4) == round(4 / 7, 4)
+    fast = best_match_enrich(facts, catalog, scorer="fast").first()
+    assert fast["dgt_title"] == "sub-winner"  # the documented divergence
 
 
 # ------------------------------------------------------- driver window
@@ -200,10 +272,13 @@ def test_best_match_enrich_matches_python_loop(spark):
 
 def test_driver_window_covers_never_checked_entries():
     """The driver's correctness harness records only the FIRST 50
-    entries of queries(); the rotation in __spark_entry__ must keep the
-    round-3 additions (q50-q68, never driver-checked before round 4)
-    plus the continuity anchors inside that window, with every window
-    entry except q66 carrying a SQL oracle."""
+    entries of queries(); the round-5 rotation in __spark_entry__ must
+    put the round-4 additions q69-q72 (the only entries with no driver
+    row in any round) plus the r3-era veterans due a refresh inside
+    that window, alongside the continuity anchors.  The only window
+    entries without a SQL oracle are the four genuinely
+    non-SQL-expressible ones (q32 IVF ANN, q35 crawl pipeline, q47
+    seed search) — q66's zlib query is rotated out this round."""
     import importlib.util
     import os
 
@@ -218,8 +293,14 @@ def test_driver_window_covers_never_checked_entries():
         assert n in window, f"anchor {n} fell out of the driver window"
     never_checked = {
         n for n in names
-        if n[0] == "q" and n[1:3].isdigit() and 50 <= int(n[1:3]) <= 68
+        if n[0] == "q" and n[1:3].isdigit() and 69 <= int(n[1:3]) <= 72
     }
+    assert len(never_checked) == 4
     assert never_checked <= window, never_checked - window
+    refresh = set(mod._REFRESH)
+    assert len(refresh) == 19
+    assert refresh <= window, refresh - window
     oracled = set(mod.oracle_sql())
-    assert window - oracled == {"q66_compression_ratio"}
+    assert window - oracled == {
+        "q32_ann_ivf_topk", "q35_crawl_to_analytics", "q47_seed_search"
+    }

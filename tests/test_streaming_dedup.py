@@ -125,6 +125,60 @@ def test_streaming_incremental_dedup_matches_batch_loop(spark, tmp_path):
     assert band_docs == corpus_ids
 
 
+def test_replayed_batch_is_idempotent(spark, tmp_path):
+    """foreachBatch runs at-least-once: a replayed batch must not dedup
+    against its OWN previous (possibly partial) writes, and a replay of
+    a committed batch must be a no-op.  Drives the processor directly
+    — same code path the stream uses."""
+    import json
+
+    from fide_crawler_spark.streaming.pipeline import (
+        make_incremental_dedup_processor,
+    )
+
+    state = str(tmp_path / "state")
+    proc = make_incremental_dedup_processor(spark, state, threshold=0.8)
+
+    def snapshot():
+        out = {}
+        for sub in ("corpus", "bands", "survivors"):
+            df = spark.read.parquet(os.path.join(state, sub))
+            key = "doc" if sub == "bands" else "doc_id"
+            out[sub] = sorted(
+                (int(r[key]), int(r["batch_id"]))
+                for r in df.select(key, "batch_id").collect()
+            )
+        return out
+
+    b0 = _chunk_df(spark, CHUNKS[0])
+    proc(b0, 0)
+    after_first = snapshot()
+    # replay of the committed batch: exact no-op (marker short-circuit)
+    proc(b0, 0)
+    assert snapshot() == after_first
+    assert {i for i, _ in after_first["corpus"]} == set(range(10))
+
+    # crash-replay: batch 1's FIRST attempt died after writing corpus/
+    # but before bands/ + the commit marker.  Simulate by deleting the
+    # marker and the bands partition, then replaying — the replay must
+    # overwrite the orphaned corpus partition instead of deduping
+    # against it (the pre-fix behavior dropped every batch-1 doc).
+    b1 = _chunk_df(spark, CHUNKS[1])
+    proc(b1, 1)
+    committed = snapshot()
+    os.remove(os.path.join(state, "_commits", "batch-1.json"))
+    import shutil
+
+    shutil.rmtree(os.path.join(state, "bands", "batch_id=1"))
+    proc(b1, 1)
+    assert snapshot() == committed
+    with open(os.path.join(state, "_commits", "batch-1.json")) as fh:
+        n_committed = json.load(fh)["survivors"]
+    assert n_committed == len(
+        [x for x in committed["survivors"] if x[1] == 1]
+    )
+
+
 def test_planted_semantics_in_reference_loop(spark):
     """The planted scenario itself behaves as designed (guards the test
     against a silently-degenerate fixture): within-batch dup, cross-batch
