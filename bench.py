@@ -171,11 +171,15 @@ def crawl_run(cores: int, pin: bool = True) -> dict:
 
 def host_ceiling(n_small: int = 2, n_big: int = 8, repeats: int = 3) -> dict:
     """Same-day hardware baseline for the N→4N pair: the pinned
-    pure-CPU (Spark-free) throughput ratio, best-of-``repeats`` per
-    level.  The engine cannot scale better than the host; on this VM
-    the ratio moves day to day with hypervisor steal, so the engine's
-    raw efficiency only means something next to the ceiling measured
-    in the same session (see BENCH/BASELINE.md round-3 postmortem)."""
+    Spark-free throughput ratio of the crawl's OWN fetch kernel
+    (render+parse at bench page weight, plain multiprocessing),
+    best-of-``repeats`` per level.  The engine cannot scale better
+    than its workload's hardware envelope; on this VM that envelope
+    moves hour to hour, so the engine's raw efficiency only means
+    something next to the ceiling measured in the same session.
+    Round-5 change: earlier rounds probed a matmul+bytes kernel whose
+    cache-resident profile overstated the ceiling (1→4 eff 0.97 vs the
+    fetch kernel's 0.89) — see BENCH/BASELINE.md round-5 notes."""
     import subprocess
 
     script = os.path.join(

@@ -193,6 +193,15 @@ class CrawlJob:
         # sized cache per epoch otherwise).
         _caches: list = []
         _stats: dict = {}
+        # Persist the candidate set before ranking: dequeue_rank's
+        # range-boundary sample job and its shuffle map both scan the
+        # input, so without this the URL-seen chain (Bloom prepass +
+        # exact anti-join) runs TWICE per epoch — pure per-epoch
+        # overhead that does not shrink with executor count.  Disk-
+        # spillable, bounded by the pending set — the same order as the
+        # sorted layout dequeue_rank itself persists.
+        candidates = candidates.persist()
+        _caches.append(candidates)
         with _phase(prof, "dequeue"):
             batch = dequeue_rank(
                 candidates, "host", priority_order(), self.budget, "rank",
@@ -244,12 +253,17 @@ class CrawlJob:
         # metrics + per-file lineage come from the written files
         # (Iceberg manifest-stats pattern)
         def finalize(data_path: str):
+            t0 = time.time()
             per_file = (
                 spark.read.parquet(data_path)
                 .groupBy(F.input_file_name().alias("file"))
                 .agg(F.count(F.lit(1)).alias("docs"), F.sum("n_spans").alias("spans"))
                 .collect()
             )
+            if prof is not None:
+                prof["docs_finalize"] = prof.get("docs_finalize", 0.0) + round(
+                    time.time() - t0, 3
+                )
             lineage = [
                 {
                     "file": os.path.basename(r["file"]),

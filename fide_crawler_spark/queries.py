@@ -2828,3 +2828,46 @@ def q72_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_frames",
         F.col("frame").cast("string").alias("frame_text"),
     ).orderBy("doc_id", "frame_idx")
+
+
+@query(
+    "q73_chart_series_m4",
+    """
+    SELECT user_id,
+           CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS bucket,
+           CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) * 86400 AS bucket_start,
+           COUNT(*) AS n,
+           FLOOR(struct_extract(
+             min(struct_pack(ts := ts, tb := event_id, v := value)), 'v'
+           ) * 10000 + 0.5) / 10000 AS first_v,
+           FLOOR(struct_extract(
+             max(struct_pack(ts := ts, tb := event_id, v := value)), 'v'
+           ) * 10000 + 0.5) / 10000 AS last_v,
+           FLOOR(MIN(value) * 10000 + 0.5) / 10000 AS min_v,
+           FLOOR(MAX(value) * 10000 + 0.5) / 10000 AS max_v
+    FROM events
+    WHERE value IS NOT NULL
+    GROUP BY 1, 2
+    ORDER BY user_id, bucket
+    """,
+)
+def q73_chart_series_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chart-series data plane (SURVEY §2 J-6, chartseries.m4_downsample):
+    the reference's rating time-series plot input
+    (visualizations/visualization.py:5-19 — numeric-coerce, drop NULLs,
+    date order) in its 100 TB-scalable form: per-(user, day-bucket) M4
+    downsample (first/last/min/max points), one grouped aggregate with
+    map-side partials, no per-key window or sort.  The pie/bar chart
+    inputs (visualization.py:24-54) are the q13/q2 aggregates."""
+    from fide_crawler_spark.operators.chartseries import m4_downsample
+
+    ev = load(spark, sf_dir, "events")
+    out = m4_downsample(
+        ev, ["user_id"], "ts", "value", bucket_seconds=86400,
+        tiebreak_col="event_id",
+    )
+    r4 = lambda c: (F.floor(F.col(c) * 10000 + F.lit(0.5)) / 10000).alias(c)  # noqa: E731
+    return out.select(
+        "user_id", "bucket", F.col("bucket_start").cast("long").alias("bucket_start"),
+        "n", r4("first_v"), r4("last_v"), r4("min_v"), r4("max_v"),
+    ).orderBy("user_id", "bucket")

@@ -70,10 +70,24 @@ def main() -> None:
         # they are core-count-asymmetric (the 4N run pays to spawn 4×
         # the workers inside its measured window otherwise, biasing
         # the scaling ratio it exists to measure)
-        spark.range(64).repartition(args.cores).mapInPandas(
-            lambda it: it, schema="id long"
+        # warm the REAL hot path, not a toy: a micro-batch through the
+        # fused fetch+parse stage and a nested-span parquet write JITs
+        # the Arrow decode, arrays_zip/struct codegen, and the nested
+        # column writer — on a cold JVM those first-compile costs
+        # otherwise land inside epoch 0's measured window (observed as
+        # e0 running ~5-20% over e1 at small N)
+        from fide_crawler_spark.operators.parse import fetch_parse_stage
+
+        warm_batch = frontier.limit(4 * args.cores).selectExpr(
+            "url", "xxhash64(url) as url_hash", "fide_id", "period",
+            "seed_pos", "retry_count", "cast(0 as long) as rank",
+        ).repartition(args.cores)
+        fetch_parse_stage(
+            warm_batch, weight=args.page_weight
         ).write.mode("overwrite").parquet(os.path.join(wd, "_warm"))
-        spark.read.parquet(os.path.join(wd, "_warm")).collect()
+        spark.read.parquet(os.path.join(wd, "_warm")).selectExpr(
+            "sum(size(spans))"
+        ).collect()
         t0 = time.time()
         epoch_stats = job.run()
         dt = time.time() - t0
