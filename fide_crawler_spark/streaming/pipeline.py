@@ -272,16 +272,21 @@ def make_incremental_dedup_processor(
             return  # replayed, fully committed batch — no-op
         committed = _committed_ids()
         batch_df = batch_df.localCheckpoint()  # pin: joined twice below
+        # Under the stream's serialized foreachBatch the committed set
+        # is a contiguous prefix of batch ids, so the usual predicate
+        # is a constant-size range filter (partition-pruned, no
+        # ever-growing IN-list on an unbounded stream); the explicit
+        # id list only backs the gap case (manual/out-of-order calls).
+        if committed == list(range(batch_id)):
+            keep = F.col("batch_id") < batch_id
+        else:
+            keep = F.col("batch_id").isin(committed)
         if committed:
             corpus = (
-                spark.read.parquet(corpus_path)
-                .filter(F.col("batch_id").isin(committed))
-                .drop("batch_id")
+                spark.read.parquet(corpus_path).filter(keep).drop("batch_id")
             )
             cb = (
-                spark.read.parquet(bands_path)
-                .filter(F.col("batch_id").isin(committed))
-                .drop("batch_id")
+                spark.read.parquet(bands_path).filter(keep).drop("batch_id")
             )
             survivors = incremental_dedup(
                 batch_df, corpus, threshold=threshold, k=k, bands=bands,

@@ -39,6 +39,10 @@ def main() -> None:
     from fide_crawler_spark.operators.scheduler import CrawlJob
 
     spark = SparkSession.builder.appName("fide_crawler_spark.crawl").getOrCreate()
+    # epoch-path shuffles are all explicitly partitioned; AQE's
+    # re-optimization rounds only add per-epoch driver latency here
+    # (see jobs/crawl_bench.py) — the analytics tier keeps AQE on
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.sparkContext.setLogLevel("WARN")
 
     seeds = spark.createDataFrame(

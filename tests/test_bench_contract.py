@@ -36,10 +36,11 @@ def test_bench_stdout_is_one_json_line():
     assert len(lines) == 1, f"stdout must be ONE JSON line, got: {lines[:3]}"
     d = json.loads(lines[0])
     assert d["unit"] == "sec" and d["value"] > 0
-    assert len(d["queries"]) == 23
+    assert len(d["queries"]) == 24
     assert set(d["queries"]) >= {
         "flagship_last3_days",
         "q69_dgt_enrichment",
         "q70_boilerplate_strip",
         "q71_deterministic_shuffle",
+        "q73_chart_series_m4",
     }
