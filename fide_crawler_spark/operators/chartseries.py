@@ -51,7 +51,11 @@ def m4_downsample(
 
     One scan + one grouped aggregate: partial (map-side) aggregation
     applies, so a 10^10-point table reduces to |keys| × |buckets| rows
-    without any per-key sort or window.
+    without any per-key window.  Struct extrema are not
+    hash-aggregable, so Spark plans a SortAggregate — still
+    partial+final around a single exchange (pinned by
+    tests/test_plans.py); the per-partition sort is on (key, bucket),
+    never a global or per-key-total order.
     """
     # parquet timestamps read as TIMESTAMP_NTZ, which has no direct
     # numeric cast — route via TIMESTAMP (session TZ is UTC), keeping

@@ -293,9 +293,9 @@ def test_driver_window_covers_never_checked_entries():
         assert n in window, f"anchor {n} fell out of the driver window"
     never_checked = {
         n for n in names
-        if n[0] == "q" and n[1:3].isdigit() and 69 <= int(n[1:3]) <= 72
+        if n[0] == "q" and n[1:3].isdigit() and 69 <= int(n[1:3]) <= 73
     }
-    assert len(never_checked) == 4
+    assert len(never_checked) == 5
     assert never_checked <= window, never_checked - window
     refresh = set(mod._REFRESH)
     assert len(refresh) == 19

@@ -249,3 +249,24 @@ def test_enrich_catalog_is_broadcast_and_jvm_only(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan and "BuildRight" in plan
     assert has_broadcast_join(df)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_m4_chart_series_is_one_aggregate_shuffle(spark, sf_dir):
+    """q73's physical contract: NULL filter pushed to the scan, one
+    partial+final aggregate pair around a single hash exchange (plus
+    the display order-by), zero Python eval nodes — a 10^10-point
+    series reduces map-side before anything moves."""
+    from fide_crawler_spark.plans import formatted_plan
+
+    df = QUERIES["q73_chart_series_m4"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert has_pushed_filter(df, "value")
+    # agg exchange + order-by range exchange; more means the partial
+    # aggregation (map-side combine) regressed
+    assert count_exchanges(df) <= 2, count_exchanges(df)
+    # struct extrema aren't hash-aggregable, so Spark picks
+    # SortAggregate — what matters for 10^10 points is that the
+    # partial (map-side) mode is still there before the exchange
+    assert plan.count("SortAggregate") + plan.count("HashAggregate") >= 2
+    assert "partial_min" in plan  # map-side combine confirmed
