@@ -80,15 +80,21 @@ def sqlite_export(
 
     from pyspark.sql import Row
 
-    def encode(v):
+    def jsonable(v):
+        # Rows nest arbitrarily deep (array<struct>, map<string,struct>)
         if isinstance(v, Row):
-            return json.dumps(v.asDict(recursive=True), sort_keys=True)
-        if isinstance(v, (list, dict)):
-            return json.dumps(
-                [x.asDict(recursive=True) if isinstance(x, Row) else x for x in v]
-                if isinstance(v, list) else v,
-                sort_keys=True,
-            )
+            return {k: jsonable(x) for k, x in v.asDict().items()}
+        if isinstance(v, dict):
+            return {k: jsonable(x) for k, x in v.items()}
+        if isinstance(v, (list, tuple)):
+            return [jsonable(x) for x in v]
+        if isinstance(v, (bytes, bytearray)):
+            return v.hex()
+        return v
+
+    def encode(v):
+        if isinstance(v, (Row, list, tuple, dict)):
+            return json.dumps(jsonable(v), sort_keys=True)
         if isinstance(v, (bytes, bytearray)):
             return v.hex()
         return v

@@ -85,16 +85,17 @@ def main() -> None:
         # e0 running ~5-20% over e1 at small N)
         from fide_crawler_spark.operators.parse import fetch_parse_stage
 
-        warm_batch = frontier.limit(4 * args.cores).selectExpr(
-            "url", "xxhash64(url) as url_hash", "fide_id", "period",
-            "seed_pos", "retry_count", "cast(0 as long) as rank",
-        ).repartition(args.cores)
-        fetch_parse_stage(
-            warm_batch, weight=args.page_weight
-        ).write.mode("overwrite").parquet(os.path.join(wd, "_warm"))
-        spark.read.parquet(os.path.join(wd, "_warm")).selectExpr(
-            "sum(size(spans))"
-        ).collect()
+        if n_urls:  # empty frontier → no part files to read back
+            warm_batch = frontier.limit(4 * args.cores).selectExpr(
+                "url", "xxhash64(url) as url_hash", "fide_id", "period",
+                "seed_pos", "retry_count", "cast(0 as long) as rank",
+            ).repartition(args.cores)
+            fetch_parse_stage(
+                warm_batch, weight=args.page_weight
+            ).write.mode("overwrite").parquet(os.path.join(wd, "_warm"))
+            spark.read.parquet(os.path.join(wd, "_warm")).selectExpr(
+                "sum(size(spans))"
+            ).collect()
         t0 = time.time()
         epoch_stats = job.run()
         dt = time.time() - t0

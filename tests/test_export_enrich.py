@@ -63,17 +63,20 @@ def test_sqlite_export_refuses_unbounded(spark, tmp_path):
 def test_sqlite_export_nested_values_json_encoded(spark, tmp_path):
     db = str(tmp_path / "nested.db")
     df = spark.createDataFrame(
-        [(1, ["a", "b"], {"k": 2}, (3, "x"), bytearray(b"\x01\xff"))],
+        [(1, ["a", "b"], {"k": 2}, (3, "x"), bytearray(b"\x01\xff"),
+          {"deep": (7, "y")})],
         "id long, arr array<string>, m map<string,int>, "
-        "s struct<a:int,b:string>, blob binary",
+        "s struct<a:int,b:string>, blob binary, "
+        "ms map<string,struct<a:int,b:string>>",
     )
     sqlite_export({"t": df}, db)
     with sqlite3.connect(db) as con:
-        row = con.execute("SELECT arr, m, s, blob FROM t").fetchone()
+        row = con.execute("SELECT arr, m, s, blob, ms FROM t").fetchone()
     assert json.loads(row[0]) == ["a", "b"]
     assert json.loads(row[1]) == {"k": 2}
     assert json.loads(row[2]) == {"a": 3, "b": "x"}
     assert row[3] == "01ff"
+    assert json.loads(row[4]) == {"deep": {"a": 7, "b": "y"}}
 
 
 def test_sqlite_export_failure_leaves_no_partial_db(spark, tmp_path):
