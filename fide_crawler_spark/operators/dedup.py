@@ -1,6 +1,6 @@
 """Deduplication operators for corpus curation at 100 TB scale.
 
-Five strategies, all shuffle-disciplined (candidate generation via
+Six strategies, all shuffle-disciplined (candidate generation via
 bucket keys so no all-pairs cross join ever materializes):
 
 * exact           — hash groupBy on content, keep-first (min doc_id)
@@ -10,6 +10,11 @@ bucket keys so no all-pairs cross join ever materializes):
 * SimHash         — sign-aggregated bit fingerprint, equal-hash buckets
 * embedding cosine — random-hyperplane LSH buckets + within-bucket
                     vectorized pandas verify (near-dup over vectors)
+* exact substring — rolling W-token window occurrence counts flagging
+                    repeated PASSAGES inside otherwise-distinct docs
+                    (Lee et al. 2022, "Deduplicating Training Data
+                    Makes Language Models Better" — the grouped-
+                    aggregate form of their suffix-array ExactSubstr)
 
 Reference analog: the 5-column duplicate purge
 (``database/database_management.py:56-71``) is the `exact` case; the
@@ -352,6 +357,158 @@ def incremental_dedup(
         id_col=id_col, portable=portable,
     )
     return within.join(dominated, id_col, "left_anti")
+
+
+def _window_flat(
+    docs: DataFrame, w: int, id_col: str, text_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """(base, flat): base = (doc, t:array<token>); flat = one row per
+    rolling W-token window, (doc, start, h=xxhash64(window text)).
+    Docs shorter than W tokens emit no windows (they cannot contain a
+    W-token duplicate)."""
+    toks = F.split(F.col(text_col), " ")
+    base = docs.select(F.col(id_col).alias("doc"), toks.alias("t"))
+    # sequence(0, max(size-w, 0)) then filter i <= size-w: avoids
+    # sequence's descending-step surprise when size < w (stop < start
+    # counts DOWN, it does not return empty)
+    idx = F.filter(
+        F.sequence(F.lit(0), F.greatest(F.size("t") - w, F.lit(0))),
+        lambda i: i <= F.size("t") - w,
+    )
+    flat = base.select(
+        "doc", F.col("t"), F.explode(idx).alias("start")
+    ).select(
+        "doc",
+        "start",
+        F.xxhash64(
+            F.array_join(F.slice(F.col("t"), F.col("start") + 1, w), " ")
+        ).alias("h"),
+    )
+    return base, flat
+
+
+def duplicated_window_stats(
+    docs: DataFrame,
+    w: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-doc duplicated-passage statistics: (doc_id, n_tokens,
+    dup_tokens, dup_ratio) where a token is *duplicated* iff it lies
+    inside some W-token window whose exact text occurs ≥2 times in the
+    corpus (across docs or repeated within one doc).
+
+    This is the exact-substring dedup signal of Lee et al. 2022
+    re-expressed as grouped aggregates instead of a suffix array: a
+    length-≥W duplicated substring is exactly a run of duplicated
+    rolling windows, so flagged-token sets are identical (for
+    substrings ≥ W; shorter repeats are ignored by construction).
+    Shuffle shape at 100 TB: explode is narrow (W× row fan-out, no
+    shuffle); occurrence counting is one partial-agg groupBy on the
+    8-byte window hash; membership is a semi-join on the same key; the
+    covered-position count is a second partial-agg groupBy on doc.  No
+    all-pairs join, no per-doc sequential pass, no suffix-array sort.
+    Boilerplate windows with huge occurrence counts cost one counter
+    cell each (the semi-join fans out only to existing flat rows).
+
+    Windows are keyed by xxhash64 of the window text (2^-64-scale
+    collision tolerance, as everywhere in this family); the q74 oracle
+    replays the same logic on the raw strings.
+    """
+    base, flat = _window_flat(docs, w, id_col, text_col)
+    dup_h = (
+        flat.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .filter(F.col("occ") >= 2)
+        .select("h")
+    )
+    covered = (
+        flat.join(dup_h, "h", "left_semi")
+        .select(
+            "doc",
+            F.explode(
+                F.sequence(F.col("start"), F.col("start") + (w - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    dup_counts = covered.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("dup_tokens")
+    )
+    return (
+        base.select("doc", F.size("t").cast("long").alias("n_tokens"))
+        .join(dup_counts, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            "n_tokens",
+            F.coalesce("dup_tokens", F.lit(0)).cast("long").alias(
+                "dup_tokens"
+            ),
+            (
+                F.floor(
+                    F.coalesce("dup_tokens", F.lit(0)).cast("double")
+                    / F.col("n_tokens") * 10000 + F.lit(0.5)
+                ) / 10000
+            ).alias("dup_ratio"),
+        )
+    )
+
+
+def strip_duplicated_windows(
+    docs: DataFrame,
+    w: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Docs with every duplicated token removed: the cleaned text keeps
+    tokens (in order) that lie in NO corpus-repeated W-token window.
+
+    Divergence from Lee et al. (documented, deliberate): their
+    ExactSubstr keeps one arbitrary copy of each duplicated passage;
+    this removes ALL copies, which is deterministic under any
+    partitioning (keep-one-copy requires a global first-occurrence
+    order — at 100 TB that is a second shuffle for tie-breaking with no
+    quality evidence in their ablations).  Output: docs' columns with
+    ``text`` replaced and ``n_dropped_tokens`` appended.
+
+    The per-doc covered-position set is collected as an array bounded
+    by the doc's own token count — the same order of memory as the doc
+    text it sits next to."""
+    base, flat = _window_flat(docs, w, id_col, text_col)
+    dup_h = (
+        flat.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .filter(F.col("occ") >= 2)
+        .select("h")
+    )
+    cov_arr = (
+        flat.join(dup_h, "h", "left_semi")
+        .select(
+            "doc",
+            F.explode(
+                F.sequence(F.col("start"), F.col("start") + (w - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+        .groupBy("doc")
+        .agg(F.collect_set("pos").alias("cov"))
+    )
+    joined = docs.join(
+        cov_arr.withColumnRenamed("doc", id_col), id_col, "left"
+    ).withColumn(
+        "cov", F.coalesce("cov", F.expr("CAST(array() AS array<int>)"))
+    )
+    kept = F.filter(
+        F.split(F.col(text_col), " "),
+        lambda tok, i: ~F.array_contains(F.col("cov"), i),
+    )
+    return (
+        joined.withColumn("n_dropped_tokens",
+                          (F.size(F.split(F.col(text_col), " "))
+                           - F.size(kept)).cast("long"))
+        .withColumn(text_col, F.array_join(kept, " "))
+        .drop("cov")
+    )
 
 
 def simhash(

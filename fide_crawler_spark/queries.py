@@ -2871,3 +2871,45 @@ def q73_chart_series_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "bucket", F.col("bucket_start").cast("long").alias("bucket_start"),
         "n", r4("first_v"), r4("last_v"), r4("min_v"), r4("max_v"),
     ).orderBy("user_id", "bucket")
+
+
+@query(
+    "q74_substring_dup_stats",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+    wins AS (
+      SELECT doc_id, unnest(generate_series(0, len(l) - 8)) AS start, l
+      FROM toks WHERE len(l) >= 8
+    ),
+    w2 AS (SELECT doc_id, start,
+                  array_to_string(list_slice(l, start + 1, start + 8), ' ')
+                    AS win
+           FROM wins),
+    duph AS (SELECT win FROM w2 GROUP BY win HAVING COUNT(*) >= 2),
+    cov AS (
+      SELECT DISTINCT doc_id, pos FROM (
+        SELECT doc_id, start + unnest(generate_series(0, 7)) AS pos
+        FROM w2 WHERE win IN (SELECT win FROM duph)
+      )
+    ),
+    stats AS (SELECT doc_id, COUNT(*) AS dup_tokens FROM cov GROUP BY doc_id)
+    SELECT t.doc_id,
+           CAST(len(t.l) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(s.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+           FLOOR(CAST(COALESCE(s.dup_tokens, 0) AS DOUBLE) / len(t.l)
+                 * 10000 + 0.5) / 10000 AS dup_ratio
+    FROM toks t LEFT JOIN stats s USING (doc_id)
+    ORDER BY t.doc_id
+    """,
+)
+def q74_substring_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup signal (dedup.duplicated_window_stats —
+    Lee et al. 2022 ExactSubstr as grouped aggregates): per doc, how
+    many tokens sit inside an 8-token window whose exact text occurs
+    >=2 times in the corpus.  One W-fanout explode + two partial-agg
+    groupBys + a semi-join on the 8-byte window hash; no suffix array,
+    no all-pairs join.  The oracle replays the window logic on raw
+    strings (the Spark side keys on xxhash64 — 2^-64 collision
+    tolerance, as everywhere in the dedup family)."""
+    docs = load(spark, sf_dir, "documents")
+    return D.duplicated_window_stats(docs, w=8).orderBy("doc_id")

@@ -445,3 +445,93 @@ def test_incremental_dedup_empty_corpus_is_minhash_dedup(spark):
     a = sorted(r["doc_id"] for r in incremental_dedup(new, empty).collect())
     b = sorted(r["doc_id"] for r in minhash_dedup(new).select("doc_id").collect())
     assert a == b
+
+
+def test_duplicated_window_stats_planted(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j"),   # shares tokens a..h with doc 2
+            (2, "x a b c d e f g h z"),
+            (3, "p q r s t u v w"),       # exactly 8 tokens, unique
+            (4, "short doc"),             # < 8 tokens: no windows
+            (5, "m m m m m m m m m"),     # self-repeating windows
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["dup_tokens"], r["dup_ratio"])
+        for r in D.duplicated_window_stats(docs, w=8).collect()
+    }
+    assert got == {
+        1: (10, 8, 0.8),
+        2: (10, 8, 0.8),
+        3: (8, 0, 0.0),
+        4: (2, 0, 0.0),
+        5: (9, 9, 1.0),
+    }
+
+
+def test_duplicated_window_stats_python_replay(spark):
+    """Operator vs a sequential python replay on random docs with
+    planted repeated passages."""
+    rng = random.Random(11)
+    w = 5
+    passage = "alpha beta gamma delta epsilon zeta".split()
+    rows = []
+    for i in range(30):
+        toks = [rng.choice(VOCAB) for _ in range(20)]
+        if i % 4 == 0:  # plant the shared passage at a random offset
+            at = rng.randrange(0, 14)
+            toks[at:at + len(passage)] = passage
+        rows.append((i, " ".join(toks)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    occ: dict = {}
+    for _id, text in rows:
+        toks = text.split()
+        for s in range(len(toks) - w + 1):
+            win = " ".join(toks[s:s + w])
+            occ[win] = occ.get(win, 0) + 1
+    expect = {}
+    for _id, text in rows:
+        toks = text.split()
+        cov = set()
+        for s in range(len(toks) - w + 1):
+            if occ[" ".join(toks[s:s + w])] >= 2:
+                cov.update(range(s, s + w))
+        expect[_id] = (len(toks), len(cov))
+
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["dup_tokens"])
+        for r in D.duplicated_window_stats(docs, w=w).collect()
+    }
+    assert got == expect
+    assert sum(v[1] for v in expect.values()) > 0  # the plant took
+
+
+def test_strip_duplicated_windows(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j"),
+            (2, "x a b c d e f g h z"),
+            (3, "p q r s t u v w"),
+            (4, "short doc"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["text"], r["n_dropped_tokens"])
+        for r in D.strip_duplicated_windows(docs, w=8).collect()
+    }
+    assert got == {
+        1: ("i j", 8),
+        2: ("x z", 8),
+        3: ("p q r s t u v w", 0),
+        4: ("short doc", 0),
+    }
+    # stats and strip agree on the dropped-token counts
+    stats = {
+        r["doc_id"]: r["dup_tokens"]
+        for r in D.duplicated_window_stats(docs, w=8).collect()
+    }
+    assert {k: v[1] for k, v in got.items()} == stats
