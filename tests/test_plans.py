@@ -270,3 +270,19 @@ def test_m4_chart_series_is_one_aggregate_shuffle(spark, sf_dir):
     # partial (map-side) mode is still there before the exchange
     assert plan.count("SortAggregate") + plan.count("HashAggregate") >= 2
     assert "partial_min" in plan  # map-side combine confirmed
+
+
+def test_substring_dup_plan_is_jvm_semi_join_with_partials(spark, sf_dir):
+    """q74's physical contract: zero Python eval nodes (the window
+    logic is split/slice/xxhash64 higher-order expressions), window
+    membership is a LEFT SEMI join on the 8-byte hash, and both
+    groupBys (occurrence count, covered-position count) keep their
+    partial (map-side) aggregation — the properties that keep a 100 TB
+    corpus's W-fanout reduced before anything shuffles."""
+    from fide_crawler_spark.plans import formatted_plan
+
+    df = QUERIES["q74_substring_dup_stats"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "LeftSemi" in plan
+    assert "partial_count" in plan  # map-side combine on the groupBys
