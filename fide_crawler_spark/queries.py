@@ -2913,3 +2913,50 @@ def q74_substring_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tolerance, as everywhere in the dedup family)."""
     docs = load(spark, sf_dir, "documents")
     return D.duplicated_window_stats(docs, w=8).orderBy("doc_id")
+
+
+@query(
+    "q75_embedding_dup_clusters",
+    """
+    WITH RECURSIVE pairs AS (
+      SELECT a.vec_id AS u, b.vec_id AS v
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                                   b.embedding::DOUBLE[]) >= 0.4
+    ),
+    edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+    reach(u, lbl) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.u
+    ),
+    comp AS (SELECT u AS vec_id, MIN(lbl) AS cluster_id FROM reach GROUP BY u)
+    SELECT e.vec_id, COALESCE(c.cluster_id, e.vec_id) AS cluster_id
+    FROM embeddings e LEFT JOIN comp c USING (vec_id)
+    ORDER BY e.vec_id
+    """,
+)
+def q75_embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic duplicate clustering (SemDeDup, Abbas et al. 2023, in
+    its transitive form): exact embedding-cosine near-dup pairs
+    (dedup.embedding_neardup_exact — the chunk-gridded all-pairs
+    verifier q31 value-checks) fed into alternating large-star/
+    small-star connected components (cluster.dup_clusters); every
+    vector labelled with its semantic cluster's min vec_id, singletons
+    labelling themselves.  Keeping one representative per cluster
+    (vec_id == cluster_id) is the SemDeDup prune.  Composes the
+    embedding and clustering families end-to-end in one lazy plan; at
+    scale the pair generation swaps to the LSH-bucketed
+    embedding_neardup_pairs with identical downstream semantics."""
+    emb = load(spark, sf_dir, "embeddings")
+    pairs = D.embedding_neardup_exact(
+        emb, threshold=0.4, max_chunk_rows=128
+    ).select("vec_a", "vec_b")
+    return (
+        CL.dup_clusters(
+            emb.select("vec_id"), pairs,
+            id_col="vec_id", src="vec_a", dst="vec_b",
+        )
+        .select("vec_id", "cluster_id")
+        .orderBy("vec_id")
+    )
