@@ -8,10 +8,12 @@ order-insensitive value-hash → CORRECTNESS_r{N}.json).
 Implementation lives in ``fide_crawler_spark/`` (see SURVEY.md §2 for
 the operator inventory each query exercises).  The hash-family dedup
 entries are oracled via the md5h bridge (dedup.md5h — bit-identical in
-DuckDB).  The 4 entries without an oracle_sql are genuinely
-non-SQL-expressible (q35 crawl pipeline, q32 approximate IVF ANN,
-q47 seed search, q66 compression ratio whose zlib signal has no SQL
-equivalent) and are checked by pytest sequential/planted/recall/zlib
+DuckDB); the IVF ANN entry (q32) unrolls its whole pipeline — md5
+seeds, Lloyd rounds on the md5 hash-sample, argmax assignment, probe —
+as one DuckDB CTE chain (queries._ivf_oracle_sql).  The 3 entries
+without an oracle_sql are genuinely non-SQL-expressible (q35 crawl
+pipeline, q47 seed search, q66 compression ratio whose zlib signal has
+no SQL equivalent) and are checked by pytest sequential/planted/zlib
 oracles instead.
 
 ``queries()`` returns the catalog in a deliberate order: the driver's

@@ -99,7 +99,17 @@ def kmeans_cells(
     applyInPandas (a hot cell would be one task)."""
     from fide_crawler_spark.operators.sampling import hash_sample
 
-    sample = emb.select(vec_col).orderBy(F.xxhash64(id_col)).limit(n_cells).collect()
+    # Seed centroids: first n_cells rows in md5(id‖'ivf-seed') order.
+    # md5 (not xxhash64) so the whole pipeline — seeding, Lloyd sample,
+    # refinement, final assignment — replays bit-for-bit in any engine
+    # with md5 + list arithmetic (q32's DuckDB oracle unrolls it).
+    seed_h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit("ivf-seed")))
+    sample = (
+        emb.select(vec_col, seed_h.alias("__h"), F.col(id_col))
+        .orderBy("__h", id_col)
+        .limit(n_cells)
+        .collect()
+    )
     centroids = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in sample])
 
     def unit(m: np.ndarray) -> np.ndarray:

@@ -1074,9 +1074,100 @@ def q31_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_a", "vec_b")
 
 
-@query("q32_ann_ivf_topk")
+def _ivf_oracle_sql(
+    n_cells: int = 16,
+    n_probe: int = 4,
+    k: int = 10,
+    lloyd_iters: int = 2,
+    refine_threshold_hex: str = "40000000",  # sample_threshold_hex(0.25)
+    query_id: int = 0,
+) -> str:
+    """Unrolled-SQL replay of the ENTIRE IVF pipeline — the md5h-bridge
+    technique applied to similarity.ann_topk_ivf.  Every stage of the
+    Spark path is deterministic and engine-portable by construction
+    (md5 seed order, md5-threshold Lloyd sample, argmax with
+    lowest-cell tie-break, 1e-4 floor-rounded cosines), so DuckDB can
+    recompute it end-to-end: seed centroids → ``lloyd_iters`` unrolled
+    spherical-k-means rounds on the hash-sample → full-corpus argmax
+    assignment → probe the n_probe nearest cells → exact cosine top-k.
+    Straight-line CTE chain, one block per Lloyd round."""
+    unit = (
+        "list_transform({m}, x -> x / GREATEST("
+        "sqrt(list_inner_product({m}, {m})), 1e-12))"
+    )
+    assign = """
+{name} AS (
+  SELECT vec_id, cell FROM (
+    SELECT s.vec_id, c.cell,
+           row_number() OVER (
+             PARTITION BY s.vec_id
+             ORDER BY list_inner_product(s.u, c.c) DESC, c.cell) AS rn
+    FROM {src} s CROSS JOIN {cents} c) WHERE rn = 1
+)"""
+    rounds = []
+    prev = "c0"
+    for r in range(1, max(0, lloyd_iters) + 1):
+        rounds.append(assign.format(name=f"a{r}", src="samp", cents=prev))
+        rounds.append(f"""
+m{r} AS (
+  SELECT cell, dim, AVG(x) AS mu FROM (
+    SELECT a.cell, unnest(s.u) AS x, generate_subscripts(s.u, 1) AS dim
+    FROM a{r} a JOIN samp s USING (vec_id))
+  GROUP BY cell, dim
+),
+g{r} AS (SELECT cell, list(mu ORDER BY dim) AS m FROM m{r} GROUP BY cell),
+c{r} AS (
+  SELECT p.cell,
+         CASE WHEN g.m IS NULL THEN p.c
+              ELSE {unit.format(m="g.m")} END AS c
+  FROM {prev} p LEFT JOIN g{r} g USING (cell)
+)""")
+        prev = f"c{r}"
+    round_sql = ",".join(rounds)
+    return f"""
+WITH emb_d AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+emb_u AS (
+  SELECT vec_id, v, {unit.format(m="v")} AS u FROM emb_d
+),
+c0 AS (
+  SELECT (row_number() OVER (
+            ORDER BY md5(CAST(vec_id AS VARCHAR) || 'ivf-seed'), vec_id)
+         ) - 1 AS cell, u AS c
+  FROM emb_u
+  ORDER BY md5(CAST(vec_id AS VARCHAR) || 'ivf-seed'), vec_id
+  LIMIT {n_cells}
+),
+samp AS (
+  SELECT vec_id, u FROM emb_u
+  WHERE substr(md5(CAST(vec_id AS VARCHAR) || 'lloyd'), 1, 8)
+        < '{refine_threshold_hex}'
+),{round_sql},{assign.format(name="fa", src="emb_u", cents=prev)},
+qv AS (SELECT v AS q FROM emb_d WHERE vec_id = {query_id}),
+probe AS (
+  SELECT c.cell FROM {prev} c, qv
+  ORDER BY list_inner_product(c.c, qv.q) DESC, c.cell LIMIT {n_probe}
+)
+SELECT e.vec_id,
+       FLOOR(list_cosine_similarity(e.v, qv.q) * 10000 + 0.5) / 10000
+         AS cosine
+FROM emb_d e JOIN fa USING (vec_id), qv
+WHERE fa.cell IN (SELECT cell FROM probe)
+ORDER BY cosine DESC, e.vec_id LIMIT {k}
+"""
+
+
+@query("q32_ann_ivf_topk", _ivf_oracle_sql())
 def q32_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-bucketed approximate nearest neighbours for vec_id=0."""
+    """IVF-bucketed approximate nearest neighbours for vec_id=0.
+
+    Full value oracle (no_oracle in rounds 2-4): every stage of
+    ann_topk_ivf is engine-portable — md5-ordered seed selection,
+    md5-threshold Lloyd sample (sampling.hash_sample), argmax
+    assignment with lowest-cell tie-break, floor-rounded cosines — so
+    _ivf_oracle_sql unrolls the whole pipeline (seeds, 2 Lloyd rounds,
+    final assignment, probe, top-k) as one DuckDB CTE chain."""
     emb = load(spark, sf_dir, "embeddings")
     qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
     return SIM.ann_topk_ivf(emb, qv, k=10, n_cells=16, n_probe=4)

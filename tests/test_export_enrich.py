@@ -279,9 +279,10 @@ def test_driver_window_covers_never_checked_entries():
     put the round-4/5 additions q69-q75 (the only entries with no driver
     row in any round) plus the r3-era veterans due a refresh inside
     that window, alongside the continuity anchors.  The only window
-    entries without a SQL oracle are the four genuinely
-    non-SQL-expressible ones (q32 IVF ANN, q35 crawl pipeline, q47
-    seed search) — q66's zlib query is rotated out this round."""
+    entries without a SQL oracle are the genuinely non-SQL-expressible
+    ones (q35 crawl pipeline, q47 seed search) — q66's zlib query is
+    rotated out this round, and q32 IVF ANN gained a full unrolled
+    DuckDB oracle in round 5 (queries._ivf_oracle_sql)."""
     import importlib.util
     import os
 
@@ -305,5 +306,5 @@ def test_driver_window_covers_never_checked_entries():
     assert refresh <= window, refresh - window
     oracled = set(mod.oracle_sql())
     assert window - oracled == {
-        "q32_ann_ivf_topk", "q35_crawl_to_analytics", "q47_seed_search"
+        "q35_crawl_to_analytics", "q47_seed_search"
     }
