@@ -7,11 +7,14 @@ scale, media are opaque ``binary`` columns with a typed metadata struct;
 decode/resize/frame-sample run as Arrow-batched pandas stages over
 ``mapInPandas``.
 
-The actual codec libraries (PIL/ffmpeg) are not in this container, so
-the decode kernel is STUBBED: ``decode_media(..., real=True)`` raises
-``NotImplementedError``; the default deterministic fake emits features
-derived from the payload bytes (so schema, partitioning, UDF signature,
-and batch shape — the Spark-side plumbing — are real and tested).
+Compressed-codec libraries (PIL/ffmpeg) are not in this container, so
+``decode_media(..., real=True)`` decodes the uncompressed netpbm
+binary formats (P6 PPM / P5 PGM) with a pure-numpy decoder
+(``decode_ppm``); payloads that are not valid netpbm raise.  The
+default deterministic fake emits features derived from the raw payload
+bytes, keeping the plumbing testable on arbitrary binaries.  JPEG/PNG
+et al. stay honestly out of scope until a codec library exists in the
+image — the mapInPandas kernel shape is identical either way.
 """
 
 from __future__ import annotations
@@ -53,6 +56,33 @@ def media_table(docs: DataFrame) -> DataFrame:
     )
 
 
+def ppm_media_table(
+    docs: DataFrame, width: int = 8, height: int = 4
+) -> DataFrame:
+    """documents → VALID binary-PPM (P6) payloads, built entirely
+    JVM-side: header + raster where the raster is the doc's text
+    truncated/right-padded to width·height·3 chars (testdata text is
+    ASCII → 1 byte per char).  Feeds the real-decode path (q76) so the
+    pure-numpy netpbm decoder is exercised through the full Spark
+    plumbing with an exact SQL oracle; one codegen'd projection."""
+    n = width * height * 3
+    header = f"P6\n{width} {height}\n255\n"
+    raster = F.rpad(F.substring(F.col("text"), 1, n), n, "x")
+    payload = F.concat(
+        F.encode(F.lit(header), "utf-8"), F.encode(raster, "utf-8")
+    )
+    return docs.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.struct(
+            F.lit("ppm").alias("format"),
+            F.lit(width).cast("int").alias("width"),
+            F.lit(height).cast("int").alias("height"),
+            F.octet_length(payload).cast("bigint").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
 def _fake_decode(payload: bytes, width: int, height: int) -> np.ndarray:
     """Deterministic fake 'decoded image' feature vector (8 floats):
     byte-histogram moments.  Replaced by a real decode when codec libs
@@ -75,35 +105,117 @@ def _fake_decode(payload: bytes, width: int, height: int) -> np.ndarray:
     )
 
 
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """netpbm binary writer — the fixture generator for the real-decode
+    path.  H×W×3 uint8 → P6 (PPM); H×W uint8 → P5 (PGM)."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 3 and a.shape[2] == 3:
+        magic = b"P6"
+    elif a.ndim == 2:
+        magic = b"P5"
+    else:
+        raise ValueError(f"expected HxWx3 or HxW uint8, got shape {a.shape}")
+    h, w = a.shape[0], a.shape[1]
+    return magic + b"\n%d %d\n255\n" % (w, h) + a.tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Pure-numpy decoder for binary netpbm (P6 PPM → H×W×3, P5 PGM →
+    H×W, maxval ≤ 255).  Full header grammar: tokens separated by any
+    whitespace, ``#`` comments to end-of-line, exactly one whitespace
+    byte between maxval and the raster.  Malformed or truncated
+    payloads raise ValueError (strict — a corrupt image should surface,
+    not silently yield garbage)."""
+    magic = bytes(payload[:2])
+    if magic not in (b"P6", b"P5"):
+        raise ValueError(f"not a binary netpbm payload (magic {magic!r})")
+    pos, vals = 2, []
+    while len(vals) < 3:
+        while pos < len(payload):
+            c = payload[pos : pos + 1]
+            if c.isspace():
+                pos += 1
+            elif c == b"#":
+                nl = payload.find(b"\n", pos)
+                pos = len(payload) if nl < 0 else nl + 1
+            else:
+                break
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        if start == pos or not payload[start:pos].isdigit():
+            raise ValueError("truncated or non-numeric netpbm header")
+        vals.append(int(payload[start:pos]))
+    width, height, maxval = vals
+    if not (0 < maxval <= 255):
+        raise ValueError(f"unsupported maxval {maxval} (16-bit netpbm)")
+    pos += 1  # the single whitespace byte that terminates the header
+    channels = 3 if magic == b"P6" else 1
+    need = width * height * channels
+    raster = np.frombuffer(payload, dtype=np.uint8, count=-1, offset=pos)
+    if raster.size < need:
+        raise ValueError(
+            f"truncated raster: need {need} bytes, have {raster.size}"
+        )
+    a = raster[:need].reshape(height, width, channels)
+    return a if channels == 3 else a[:, :, 0]
+
+
+def _real_decode(payload: bytes) -> tuple[np.ndarray, int, int, int]:
+    """(features, width, height, pixel-checksum) from a real netpbm
+    decode: the feature moments are computed over DECODED pixels (not
+    raw payload bytes), and width/height come from the image header
+    (not trusted metadata)."""
+    img = decode_ppm(payload)
+    h, w = img.shape[0], img.shape[1]
+    px = img.astype(np.float64).ravel()
+    feats = np.array(
+        [px.mean(), px.std(), px.min(), px.max(), float(w), float(h),
+         float(px.size), float(px.sum() % 255)],
+        dtype=np.float32,
+    )
+    return feats, w, h, int(img.sum(dtype=np.int64))
+
+
 def decode_media(media: DataFrame, real: bool = False) -> DataFrame:
     """Decode / feature-extract stage over mapInPandas (Arrow batches).
 
-    ``real=True`` is the hook for an actual image decode (PIL et al.) —
-    not available in this container, so it raises; the deterministic
-    fake keeps every piece of Spark plumbing live and testable.
+    ``real=True`` runs the pure-numpy netpbm decoder (``decode_ppm``)
+    on each payload: dims come from the image header, checksum/features
+    from decoded pixels, and invalid payloads raise.  The default fake
+    derives the same feature shape from raw payload bytes, keeping the
+    plumbing testable on arbitrary binaries (compressed codecs need
+    libraries absent from this container).
     """
-    if real:
-        raise NotImplementedError(
-            "real media decode requires codec libraries not present in this "
-            "container; the Spark plumbing (schema/batching/partitioning) is "
-            "exercised via the deterministic fake decode"
-        )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if not len(pdf):
                 continue
-            feats = [
-                _fake_decode(p, m["width"], m["height"])
-                for p, m in zip(pdf["payload"], pdf["meta"])
-            ]
+            if real:
+                decoded = [_real_decode(p) for p in pdf["payload"]]
+                feats = [d[0] for d in decoded]
+                widths = [d[1] for d in decoded]
+                heights = [d[2] for d in decoded]
+                checksums = [d[3] for d in decoded]
+            else:
+                feats = [
+                    _fake_decode(p, m["width"], m["height"])
+                    for p, m in zip(pdf["payload"], pdf["meta"])
+                ]
+                widths = [m["width"] for m in pdf["meta"]]
+                heights = [m["height"] for m in pdf["meta"]]
+                checksums = [
+                    int(np.frombuffer(p, dtype=np.uint8).sum())
+                    for p in pdf["payload"]
+                ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "width": [m["width"] for m in pdf["meta"]],
-                    "height": [m["height"] for m in pdf["meta"]],
+                    "width": widths,
+                    "height": heights,
                     "n_bytes": [m["n_bytes"] for m in pdf["meta"]],
-                    "checksum": [int(np.frombuffer(p, dtype=np.uint8).sum()) for p in pdf["payload"]],
+                    "checksum": checksums,
                     "features": feats,
                 }
             )

@@ -3051,3 +3051,37 @@ def q75_embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "cluster_id")
         .orderBy("vec_id")
     )
+
+
+@query(
+    "q76_media_real_decode",
+    """
+    SELECT d.doc_id,
+           CAST(8 AS INT) AS width, CAST(4 AS INT) AS height,
+           CAST(107 AS BIGINT) AS n_bytes,
+           CAST(s.checksum AS BIGINT) AS checksum
+    FROM documents d JOIN (
+      SELECT doc_id, SUM(ascii(c)) AS checksum
+      FROM (SELECT doc_id,
+                   UNNEST(string_split(
+                     rpad(substr(text, 1, 96), 96, 'x'), '')) AS c
+            FROM documents)
+      GROUP BY doc_id
+    ) s USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+)
+def q76_media_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode end-to-end: valid binary-PPM payloads are
+    synthesized JVM-side from document text (multimodal.ppm_media_table
+    — header + 8×4×3 raster), then decode_media(real=True) parses them
+    with the pure-numpy netpbm decoder inside the mapInPandas kernel.
+    Dims come from the PPM header, checksum from decoded pixels — the
+    oracle replays both from the text directly (raster == the doc's
+    first 96 chars right-padded with 'x'; header is 11 bytes)."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        MM.decode_media(MM.ppm_media_table(docs), real=True)
+        .drop("features")
+        .orderBy("doc_id")
+    )
