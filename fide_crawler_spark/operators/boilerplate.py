@@ -73,17 +73,26 @@ def strip_boilerplate(
     id_col: str = "doc_id",
     text_col: str = "text",
     portable: bool = False,
+    boiler_keys: DataFrame | None = None,
 ) -> DataFrame:
     """Remove every line whose doc-frequency ≥ ``min_doc_freq``;
     remaining lines are reassembled in their original order.  Output:
     (id, n_lines_before, n_lines_after, cleaned_text); a doc that was
     pure boilerplate survives with cleaned_text='' and 0 lines (the
     quality gate downstream drops it — this operator only removes
-    lines, never rows)."""
+    lines, never rows).
+
+    ``boiler_keys`` injects a precomputed (line_key) set — the
+    streaming form, where line frequency accumulates across micro-
+    batches (streaming/curation.py) and the stripping of THIS batch
+    uses the corpus-so-far frequencies.  The keys must be built with
+    the same ``portable`` flag as this call."""
     boiler = (
         line_doc_freq(docs, delimiter, id_col, text_col, portable)
         .filter(F.col("doc_freq") >= min_doc_freq)
         .select("line_key")
+        if boiler_keys is None
+        else boiler_keys.select("line_key")
     )
     exploded = docs.select(
         F.col(id_col),

@@ -33,12 +33,20 @@ def pack_shards(
     shard_col: str = "shard_id",
     num_partitions: int | None = None,
     caches: list | None = None,
+    token_offset: int = 0,
 ) -> DataFrame:
     """Add ``shard_col`` = (cumulative tokens BEFORE this doc, in the
     total order) div ``shard_tokens``.  ``order_cols`` must be a total
     order (unique tie-break) — order is a data property, so any
     partitioning yields identical shards.  NULL token counts count as 0
     (same as the window form, where SUM skips nulls).
+
+    ``token_offset`` starts the cumulative count at a nonzero value —
+    the streaming-continuation hook: a micro-batch packed with the
+    total token count of all previously committed batches produces
+    shard ids identical to packing the whole corpus at once (the
+    running sum is associative; streaming/curation.py carries the
+    offset in its commit markers).
 
     Like `rank.grouped_rank`, the operator persists its sorted layout
     (the two passes must see the same partitioning); pass ``caches`` to
@@ -71,7 +79,7 @@ def pack_shards(
         .agg(F.sum(token_col).alias("t")).collect()
     }
     offsets: dict[int, int] = {}
-    acc = 0
+    acc = int(token_offset)
     for pid in sorted(totals):
         offsets[pid] = acc
         acc += totals[pid]
@@ -108,6 +116,7 @@ def pack_shards_window(
     shard_tokens: int,
     order_cols: list[Column],
     shard_col: str = "shard_id",
+    token_offset: int = 0,
 ) -> DataFrame:
     """The single-window reference form (semantic spec; one task — use
     pack_shards at scale)."""
@@ -117,7 +126,9 @@ def pack_shards_window(
     w = Window.orderBy(*order_cols).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    running_before = F.sum(token_col).over(w) - F.col(token_col)
+    running_before = (
+        F.sum(token_col).over(w) - F.col(token_col) + F.lit(int(token_offset))
+    )
     return docs.withColumn(
-        shard_col, (running_before / shard_tokens).cast("long")
+        shard_col, F.floor(running_before / shard_tokens).cast("long")
     )

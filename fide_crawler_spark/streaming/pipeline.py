@@ -243,7 +243,6 @@ def make_incremental_dedup_processor(
     marker into place.  Readers filter to committed batch ids (partition
     pruning — uncommitted leftovers are never scanned).
     """
-    import json
     import os
 
     from fide_crawler_spark.operators.dedup import (
@@ -251,36 +250,19 @@ def make_incremental_dedup_processor(
         incremental_dedup,
         minhash_dedup,
     )
+    from fide_crawler_spark.streaming import state as ST
 
     corpus_path = os.path.join(state_dir, "corpus")
     bands_path = os.path.join(state_dir, "bands")
     out_path = os.path.join(state_dir, "survivors")
     commits_dir = os.path.join(state_dir, "_commits")
 
-    def _committed_ids() -> list[int]:
-        if not os.path.isdir(commits_dir):
-            return []
-        return sorted(
-            int(f[len("batch-"):-len(".json")])
-            for f in os.listdir(commits_dir)
-            if f.startswith("batch-") and f.endswith(".json")
-        )
-
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        marker = os.path.join(commits_dir, f"batch-{batch_id}.json")
-        if os.path.exists(marker):
+        if os.path.exists(ST.marker_path(commits_dir, batch_id)):
             return  # replayed, fully committed batch — no-op
-        committed = _committed_ids()
+        committed = ST.committed_ids(commits_dir)
         batch_df = batch_df.localCheckpoint()  # pin: joined twice below
-        # Under the stream's serialized foreachBatch the committed set
-        # is a contiguous prefix of batch ids, so the usual predicate
-        # is a constant-size range filter (partition-pruned, no
-        # ever-growing IN-list on an unbounded stream); the explicit
-        # id list only backs the gap case (manual/out-of-order calls).
-        if committed == list(range(batch_id)):
-            keep = F.col("batch_id") < batch_id
-        else:
-            keep = F.col("batch_id").isin(committed)
+        keep = ST.committed_filter(committed, batch_id)
         if committed:
             corpus = (
                 spark.read.parquet(corpus_path).filter(keep).drop("batch_id")
@@ -309,11 +291,7 @@ def make_incremental_dedup_processor(
             os.path.join(out_path, part)
         )
         # publish: atomic rename AFTER all three writes succeeded
-        os.makedirs(commits_dir, exist_ok=True)
-        tmp = marker + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump({"batch_id": batch_id, "survivors": n}, fh)
-        os.replace(tmp, marker)
+        ST.publish_marker(commits_dir, batch_id, {"survivors": n})
 
     return process
 
