@@ -74,6 +74,7 @@ def strip_boilerplate(
     text_col: str = "text",
     portable: bool = False,
     boiler_keys: DataFrame | None = None,
+    broadcast_boiler: bool | None = None,
 ) -> DataFrame:
     """Remove every line whose doc-frequency ≥ ``min_doc_freq``;
     remaining lines are reassembled in their original order.  Output:
@@ -86,7 +87,22 @@ def strip_boilerplate(
     streaming form, where line frequency accumulates across micro-
     batches (streaming/curation.py) and the stripping of THIS batch
     uses the corpus-so-far frequencies.  The keys must be built with
-    the same ``portable`` flag as this call."""
+    the same ``portable`` flag as this call.
+
+    Heavy-template skew (the real web case — one banner line in ~every
+    doc): in a shuffled LEFT ANTI join every copy of a hot line lands
+    in one task, an O(corpus) straggler.  Two mitigations, both
+    witness-tested at a skewed fixture (tests/test_boilerplate.py):
+
+    * ``broadcast_boiler=True`` — the boilerplate KEY set (8-byte keys,
+      bounded by the distinct-template count, not the corpus) is
+      broadcast, so exploded lines are never shuffled at all: each scan
+      task anti-filters its own rows, balanced by construction.
+    * ``broadcast_boiler=None`` (default) — Catalyst/AQE decide: a
+      small aggregate side auto-broadcasts; if the template set is too
+      big to broadcast, AQE's skew-join splits the hot probe-side
+      partitions (LeftAnti left-side splitting is semantics-safe —
+      each row's membership test is independent)."""
     boiler = (
         line_doc_freq(docs, delimiter, id_col, text_col, portable)
         .filter(F.col("doc_freq") >= min_doc_freq)
@@ -94,6 +110,8 @@ def strip_boilerplate(
         if boiler_keys is None
         else boiler_keys.select("line_key")
     )
+    if broadcast_boiler:
+        boiler = F.broadcast(boiler)
     exploded = docs.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), delimiter)).alias("pos", "line"),

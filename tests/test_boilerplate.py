@@ -107,3 +107,79 @@ def test_frame_sample_is_jvm_only(spark):
     plan = formatted_plan(frame_sample(media))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Exchange" not in plan  # zero shuffle, stays co-partitioned
+
+
+# ----------------------------------------------- heavy-template skew
+
+
+def _skewed_docs(spark, n=20000):
+    """The real web case: one banner line in ~every doc.  In a plain
+    shuffled LEFT ANTI join all n copies of the banner's line_key land
+    in one task — an O(corpus) straggler."""
+    banner = "THE COOKIE BANNER " * 20
+    return banner, spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit(banner + "\n"),
+            F.format_string("unique line %d", F.col("id")),
+        ).alias("text"),
+    )
+
+
+def test_heavy_template_broadcast_anti_join(spark):
+    """broadcast_boiler=True: the boilerplate key set broadcasts, so
+    exploded lines are never shuffled by line_key at all — each scan
+    task anti-filters its own rows (balanced by construction, no task
+    sees more than its input split)."""
+    from fide_crawler_spark.plans import formatted_plan
+
+    banner, docs = _skewed_docs(spark, n=2000)
+    out = strip_boilerplate(docs, broadcast_boiler=True)
+    plan = formatted_plan(out)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert not ("SortMergeJoin" in plan and "LeftAnti" in plan.split(
+        "SortMergeJoin"
+    )[-1])
+    rows = out.collect()
+    assert all(r["n_lines_after"] == 1 for r in rows)
+    assert all(banner.strip() not in r["cleaned_text"] for r in rows)
+
+
+def test_heavy_template_aqe_skew_split(spark, tmp_path):
+    """The giant-template-set case where the key set is too big to
+    broadcast: with the boiler keys materialized (the persisted-index
+    shape streaming/curation.py uses), the anti join's probe side is a
+    plain shuffle stage and AQE's skew-join splits the hot banner
+    partition across tasks — pinned via the final adaptive plan's
+    SortMergeJoin(skew=true) + 'AQEShuffleRead skewed' markers.
+    Thresholds are forced low so the 20k-copy banner counts as skewed
+    at test scale."""
+    banner, docs = _skewed_docs(spark)
+    keys_path = str(tmp_path / "boiler_keys")
+    line_doc_freq(docs).filter(F.col("doc_freq") >= 2).select(
+        "line_key"
+    ).write.parquet(keys_path)
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1024",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1024",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        out = strip_boilerplate(
+            docs, boiler_keys=spark.read.parquet(keys_path)
+        )
+        rows = out.collect()
+        final = out._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in old.items():
+            spark.conf.unset(k) if v is None else spark.conf.set(k, v)
+    assert "SortMergeJoin(skew=true)" in final, final[:2000]
+    assert "AQEShuffleRead skewed" in final
+    assert all(r["n_lines_after"] == 1 for r in rows)
+    assert sum(r["n_lines_before"] for r in rows) == 2 * len(rows)
