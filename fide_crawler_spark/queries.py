@@ -3085,3 +3085,174 @@ def q76_media_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("features")
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q77_lm_perplexity",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+    tok AS (SELECT doc_id, unnest(l) AS t,
+                   unnest(generate_series(1, len(l))) AS pos
+            FROM toks),
+    uni AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
+    vocab AS (SELECT t FROM uni ORDER BY c DESC, t ASC LIMIT 16),
+    vp AS (SELECT COUNT(*) + 1 AS vp FROM vocab),
+    m AS (SELECT doc_id, pos,
+                 CASE WHEN t IN (SELECT t FROM vocab) THEN t
+                      ELSE '<unk>' END AS m
+          FROM tok),
+    cu AS (SELECT m, COUNT(*) AS cu FROM m GROUP BY m),
+    big AS (SELECT doc_id, m AS cur,
+                   lag(m) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+            FROM m),
+    big2 AS (SELECT doc_id, prev, cur FROM big WHERE prev IS NOT NULL),
+    cb AS (SELECT prev, cur, COUNT(*) AS cb FROM big2 GROUP BY prev, cur),
+    sc AS (SELECT b.doc_id,
+                  CAST(floor(ln((CAST(cb.cb AS DOUBLE) + 0.5)
+                                / (CAST(cu.cu AS DOUBLE) + 0.5 * vp.vp))
+                             * 1000000000.0 + 0.5) AS BIGINT) AS lp
+           FROM big2 b
+           JOIN cb ON cb.prev = b.prev AND cb.cur = b.cur
+           JOIN cu ON cu.m = b.prev
+           CROSS JOIN vp),
+    agg AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+                   CAST(SUM(lp) AS BIGINT) AS s
+            FROM sc GROUP BY doc_id)
+    SELECT doc_id, n_bigrams,
+           floor(-(CAST(s AS DOUBLE)
+                   / (CAST(n_bigrams AS DOUBLE) * 1000000000.0))
+                 * 10000 + 0.5) / 10000 AS nll,
+           floor(exp(-(CAST(s AS DOUBLE)
+                       / (CAST(n_bigrams AS DOUBLE) * 1000000000.0)))
+                 * 10000 + 0.5) / 10000 AS ppl
+    FROM agg ORDER BY doc_id
+    """,
+)
+def q77_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style bigram-LM perplexity quality gate
+    (operators/lmquality.py — Wenzek et al. 2019): vocab = top-16
+    tokens (InSet projection, no join), model tables bounded and
+    broadcast, per-doc log-prob sums in exact fixed-point BIGINT.
+    The corpus-scale generalization of the reference's "trusted text"
+    row filter (data_processing/data_fetching_processing.py:200)."""
+    from fide_crawler_spark.operators.lmquality import lm_perplexity
+
+    docs = load(spark, sf_dir, "documents")
+    return lm_perplexity(docs, vocab_size=16, add_k=0.5).orderBy("doc_id")
+
+
+@query(
+    "q78_dsir_importance",
+    """
+    WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS l
+                  FROM documents),
+    grams AS (
+      SELECT doc_id, lang, unnest(l) AS g FROM toks
+      UNION ALL
+      SELECT doc_id, lang,
+             unnest(list_transform(generate_series(1, len(l) - 1),
+                                   i -> l[i] || ' ' || l[i+1])) AS g
+      FROM toks WHERE len(l) >= 2
+    ),
+    feats AS (SELECT doc_id, CAST(lang = 'en' AS INT) AS is_target,
+                     ('0x' || substr(md5(g), 1, 15))::BIGINT % 512 AS b
+              FROM grams),
+    cnts AS (SELECT b, COUNT(*) AS c, CAST(SUM(is_target) AS BIGINT) AS t
+             FROM feats GROUP BY b),
+    tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS tc,
+                   CAST(SUM(t) AS DOUBLE) AS tt
+            FROM cnts),
+    lr AS (SELECT b,
+                  CAST(floor(ln(((CAST(t AS DOUBLE) + 1.0) / (tt + 512.0))
+                                / ((CAST(c AS DOUBLE) + 1.0) / (tc + 512.0)))
+                             * 1000000000.0 + 0.5) AS BIGINT) AS lr
+           FROM cnts, tot),
+    agg AS (SELECT doc_id, MAX(is_target) AS is_target,
+                   COUNT(*) AS n_feats, CAST(SUM(lr) AS BIGINT) AS s
+            FROM feats JOIN lr USING (b) GROUP BY doc_id)
+    SELECT doc_id, is_target, n_feats,
+           floor((CAST(s AS DOUBLE)
+                  / (CAST(n_feats AS DOUBLE) * 1000000000.0))
+                 * 10000 + 0.5) / 10000 AS avg_lr
+    FROM agg ORDER BY doc_id
+    """,
+)
+def q78_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR hashed n-gram importance weights (operators/dsir.py — Xie
+    et al. 2023): target domain = lang='en', raw = full corpus; 512
+    hashed buckets, add-1 smoothing, exact fixed-point per-doc sums.
+    portable=True keys buckets on the md5h bridge so the oracle is a
+    full value replay."""
+    from fide_crawler_spark.operators.dsir import dsir_weights
+
+    docs = load(spark, sf_dir, "documents")
+    return dsir_weights(
+        docs, F.col("lang") == "en", n_buckets=512, add_k=1.0,
+        portable=True,
+    ).orderBy("doc_id")
+
+
+@query(
+    "q79_host_pagerank",
+    """
+    WITH e AS (
+      SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                      's' || CAST(l_suppkey AS VARCHAR) AS dst
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      UNION
+      SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+                      'c' || CAST(o_custkey AS VARCHAR) AS dst
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    n AS (SELECT COUNT(*) AS n FROM nodes),
+    od AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+    r0 AS (SELECT node, 1000000000000 // n.n AS r FROM nodes, n),
+    b AS (SELECT (15 * 1000000000000) // (100 * n.n) AS base FROM n),
+    i1 AS (SELECT nodes.node,
+                  b.base + COALESCE(CAST(s.c AS BIGINT), 0) AS r
+           FROM nodes CROSS JOIN b LEFT JOIN (
+             SELECT e.dst AS node,
+                    SUM((r0.r * 85) // (100 * od.outdeg)) AS c
+             FROM e JOIN r0 ON r0.node = e.src JOIN od ON od.src = e.src
+             GROUP BY e.dst) s USING (node)),
+    i2 AS (SELECT nodes.node,
+                  b.base + COALESCE(CAST(s.c AS BIGINT), 0) AS r
+           FROM nodes CROSS JOIN b LEFT JOIN (
+             SELECT e.dst AS node,
+                    SUM((i1.r * 85) // (100 * od.outdeg)) AS c
+             FROM e JOIN i1 ON i1.node = e.src JOIN od ON od.src = e.src
+             GROUP BY e.dst) s USING (node)),
+    i3 AS (SELECT nodes.node,
+                  b.base + COALESCE(CAST(s.c AS BIGINT), 0) AS r
+           FROM nodes CROSS JOIN b LEFT JOIN (
+             SELECT e.dst AS node,
+                    SUM((i2.r * 85) // (100 * od.outdeg)) AS c
+             FROM e JOIN i2 ON i2.node = e.src JOIN od ON od.src = e.src
+             GROUP BY e.dst) s USING (node))
+    SELECT node, r AS rank FROM i3 ORDER BY node
+    """,
+)
+def q79_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-graph PageRank feeding the priority queue's host_rank
+    (operators/hostrank.py — exact integer arithmetic, so the oracle
+    is a full value replay with NO rounding): symmetrized
+    customer↔supplier co-purchase graph, 3 iterations of join +
+    grouped-sum.  The reference walks its seed list in file order
+    (main.py); at web scale host importance comes from the link
+    graph."""
+    from fide_crawler_spark.operators.hostrank import pagerank
+
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    cs = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
+        )
+    )
+    edges = cs.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
+        cs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    return pagerank(edges, iters=3).orderBy("node")
