@@ -85,5 +85,15 @@ def pagerank(
             .cast("bigint")
             .alias("r"),
         )
-    out = ranks.withColumnRenamed("r", "rank")
-    return out
+        # truncate lineage each round (GraphX-style): without this the
+        # rank plan re-embeds the edge derivation per iteration — the
+        # self-join's attribute dedup defeats cache replacement and the
+        # physical plan grows ~40 nodes/round.  localCheckpoint keeps
+        # the partitions executor-side; on a real cluster with lineage-
+        # durability requirements use spark.sparkContext.setCheckpointDir
+        # + .checkpoint() instead.
+        ranks = ranks.localCheckpoint(eager=True)
+    if iters > 0:
+        nodes.unpersist()
+        ed.unpersist()
+    return ranks.withColumnRenamed("r", "rank")
