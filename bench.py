@@ -99,6 +99,7 @@ HEADLINE = [
     "q73_chart_series_m4",   # M4 chart-series downsample (new r5)
     "q74_substring_dup_stats",  # exact-substring dup windows (new r5)
     "q77_lm_perplexity",     # bigram-LM quality gate (new r5)
+    "q81_retrieval_capstone",  # chunk→embed→cosine top-k one-plan (new r5)
 ]
 
 # deep tier: the heavy dedup family at sf0.1 — slower, but regressions

@@ -121,6 +121,51 @@ def mixture_sample(
     )
 
 
+def weighted_sample(
+    docs: DataFrame,
+    weight_col: str,
+    rate: float,
+    key_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Quality-weighted deterministic Bernoulli sample:
+    P(keep) = min(1, rate · w / mean(w)) — heavier (higher-quality)
+    rows oversampled, expected total fraction ≈ ``rate`` (exactly rate
+    when no row clamps at 1).  Used by curation pipelines that keep
+    "the best half" probabilistically instead of a hard threshold
+    (which cliff-edges at the cut score).
+
+    Membership is md5h60(key‖salt) < floor(P·2^60) — decidable per row
+    from (key, w, mean) alone, so the sample is stable under any
+    partitioning and engine-portable (the mean enters as one broadcast
+    aggregate row; the corpus never shuffles).  The mean is computed as
+    exact-integer SUM / COUNT — avg() over doubles would be
+    partition-order dependent.
+
+    Output: input columns + keep_rate (the row's clamped P).
+    """
+    assert rate >= 0.0
+    from fide_crawler_spark.operators.dedup import md5h
+
+    m = docs.agg(
+        F.sum(F.col(weight_col).cast("bigint")).alias("__s"),
+        F.count("*").alias("__c"),
+    ).select(
+        (F.col("__s").cast("double") / F.col("__c").cast("double")).alias("__mean")
+    )
+    p = F.least(
+        F.lit(1.0),
+        (F.lit(rate) * F.col(weight_col).cast("double")) / F.col("__mean"),
+    )
+    h = md5h(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
+    return (
+        docs.join(F.broadcast(m))
+        .withColumn("keep_rate", p)
+        .filter(h < F.floor(F.col("keep_rate") * F.lit(float(2**60))).cast("bigint"))
+        .drop("__mean")
+    )
+
+
 def group_split(
     docs: DataFrame,
     holdout_frac: float,

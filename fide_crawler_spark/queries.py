@@ -3256,3 +3256,134 @@ def q79_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         cs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
     )
     return pagerank(edges, iters=3).orderBy("node")
+
+
+@query(
+    "q80_weighted_sample",
+    """
+    WITH m AS (
+      SELECT CAST(SUM(CAST(n_chars AS BIGINT)) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS mean
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, n_chars,
+             LEAST(1.0, (0.5 * CAST(n_chars AS DOUBLE)) / m.mean) AS p,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM documents, m
+    )
+    SELECT doc_id, n_chars, FLOOR(p * 10000 + 0.5) / 10000 AS keep_rate
+    FROM s
+    WHERE h < CAST(FLOOR(p * 1152921504606846976.0) AS BIGINT)
+    ORDER BY doc_id
+    """,
+)
+def q80_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted deterministic Bernoulli sample
+    (sampling.weighted_sample): P(keep) = min(1, rate·w/mean(w)) with
+    md5h60 membership — per-row decidable, partition-stable; the mean
+    enters as one broadcast aggregate row (exact integer SUM/COUNT,
+    never avg-of-doubles).  Weight = n_chars, rate = 0.5."""
+    docs = load(spark, sf_dir, "documents")
+    out = SA.weighted_sample(docs, "n_chars", 0.5)
+    return out.select(
+        "doc_id", "n_chars",
+        (F.floor(F.col("keep_rate") * 10000 + F.lit(0.5)) / 10000)
+        .alias("keep_rate"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "q81_retrieval_capstone",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS l,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, l, n,
+             unnest(generate_series(0, GREATEST(n - 5, 0), 28)) AS start
+      FROM t
+    ),
+    ch AS (
+      SELECT doc_id, CAST(start / 28 AS INT) AS chunk_id,
+             array_to_string(list_slice(l, start + 1, start + 32), ' ')
+               AS chunk_text
+      FROM s
+    ),
+    emb AS (
+      SELECT doc_id, chunk_id,
+             list_transform(generate_series(0, 7), j ->
+               CAST(('0x' || substr(md5(chunk_text || '|'
+                                        || CAST(j AS VARCHAR)), 1, 15))::BIGINT
+                    % 1000000 AS DOUBLE) / 1000000.0 - 0.5) AS v
+      FROM ch
+    ),
+    qv AS (
+      SELECT list_transform(generate_series(0, 7), j ->
+               CAST(('0x' || substr(md5('table scan fast|'
+                                        || CAST(j AS VARCHAR)), 1, 15))::BIGINT
+                    % 1000000 AS DOUBLE) / 1000000.0 - 0.5) AS q
+    ),
+    sc AS (
+      SELECT doc_id, chunk_id,
+             list_sum(list_transform(list_zip(v, (SELECT q FROM qv)),
+                      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+             / (SQRT(list_sum(list_transform(v, x -> x * x)))
+                * SQRT((SELECT list_sum(list_transform(q, x -> x * x))
+                        FROM qv))) AS c
+      FROM emb
+    )
+    SELECT doc_id, chunk_id, FLOOR(c * 10000 + 0.5) / 10000 AS cosine
+    FROM sc
+    ORDER BY c DESC, doc_id, chunk_id LIMIT 10
+    """,
+)
+def q81_retrieval_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval capstone: chunk → embed → ANN top-k as ONE lazy plan
+    (the RAG-ingest shape).  chunker.chunk_documents (32-token windows,
+    overlap 4) feeds a deterministic 8-dim hash embedding — a stand-in
+    with the exact schema/partitioning a real encoder UDF would have
+    (see multimodal.py for the honest-stub pattern) but md5h-replayable
+    in SQL — then brute-force cosine top-10 vs a hash-embedded query
+    string via the same zip_with/aggregate fold as similarity.py.
+    Ordered by the UNROUNDED score (bit-identical both engines) so the
+    LIMIT cut is deterministic; the emitted score is floor-rounded."""
+    from fide_crawler_spark.operators.chunker import chunk_documents
+
+    docs = load(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, chunk_tokens=32, overlap=4)
+
+    def hash_embed(text: F.Column) -> F.Column:
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(7)),
+            lambda j: (
+                D.md5h(F.concat(text, F.lit("|"), j.cast("string")))
+                % F.lit(1000000)
+            ).cast("double") / F.lit(1000000.0) - F.lit(0.5),
+        )
+
+    import hashlib
+
+    qtext = "table scan fast"
+    qv = [
+        (int(hashlib.md5(f"{qtext}|{j}".encode()).hexdigest()[:15], 16)
+         % 1000000) / 1000000.0 - 0.5
+        for j in range(8)
+    ]
+    q = F.array(*[F.lit(float(x)) for x in qv])
+    emb = chunks.select(
+        "doc_id", "chunk_id", hash_embed(F.col("chunk_text")).alias("v")
+    )
+    cos = SIM._dot(F.col("v"), q) / (SIM._norm(F.col("v")) * SIM._norm(q))
+    return (
+        emb.select("doc_id", "chunk_id", cos.alias("__c"))
+        .orderBy(F.desc("__c"), "doc_id", "chunk_id")
+        .limit(10)
+        .select(
+            "doc_id", "chunk_id",
+            (F.floor(F.col("__c") * 10000 + F.lit(0.5)) / 10000)
+            .alias("cosine"),
+        )
+    )

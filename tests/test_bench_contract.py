@@ -36,7 +36,7 @@ def test_bench_stdout_is_one_json_line():
     assert len(lines) == 1, f"stdout must be ONE JSON line, got: {lines[:3]}"
     d = json.loads(lines[0])
     assert d["unit"] == "sec" and d["value"] > 0
-    assert len(d["queries"]) == 25
+    assert len(d["queries"]) == 27
     assert set(d["queries"]) >= {
         "flagship_last3_days",
         "q69_dgt_enrichment",

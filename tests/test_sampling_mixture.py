@@ -99,3 +99,57 @@ def test_group_split_expected_fraction(spark):
         SA.group_split(groups, 0.3).filter("split = 'holdout'").count() / 2000
     )
     assert 0.25 < frac < 0.35
+
+
+# ---------------------------------------------------- weighted_sample
+
+
+def test_weighted_sample_matches_python_reference(spark):
+    """P(keep) = min(1, rate·w/mean) with md5h60 membership — replay the
+    whole decision in pure Python (exact-integer mean, same clamp)."""
+    rows = [(i, 10 + (i * 37) % 90) for i in range(400)]
+    docs = spark.createDataFrame(rows, "doc_id long, n_chars int")
+    mean = sum(w for _, w in rows) / len(rows)
+    want = {
+        i
+        for i, w in rows
+        if _md5h60(str(i)) < math.floor(min(1.0, 0.5 * w / mean) * TWO60)
+    }
+    got = {r["doc_id"] for r in SA.weighted_sample(docs, "n_chars", 0.5).collect()}
+    assert got == want
+    assert 0 < len(want) < len(rows)  # non-degenerate, non-total
+
+
+def test_weighted_sample_partition_stable(spark):
+    rows = [(i, 1 + i % 50) for i in range(300)]
+    docs = spark.createDataFrame(rows, "doc_id long, n_chars int")
+    a = {r["doc_id"] for r in SA.weighted_sample(docs, "n_chars", 0.4).collect()}
+    b = {
+        r["doc_id"]
+        for r in SA.weighted_sample(
+            docs.repartition(13, "n_chars"), "n_chars", 0.4
+        ).collect()
+    }
+    assert a == b
+
+
+def test_weighted_sample_oversamples_heavy_rows(spark):
+    """Heavier rows keep at a higher rate; the overall fraction tracks
+    the target when few rows clamp."""
+    rows = [(i, 50 + (i % 2) * 100) for i in range(2000)]  # w ∈ {50, 150}
+    docs = spark.createDataFrame(rows, "doc_id long, n_chars int")
+    out = SA.weighted_sample(docs, "n_chars", 0.5).collect()
+    light = sum(1 for r in out if r["n_chars"] == 50) / 1000
+    heavy = sum(1 for r in out if r["n_chars"] == 150) / 1000
+    # expected keep rates: 0.5·50/100 = 0.25 and 0.5·150/100 = 0.75
+    assert 0.19 < light < 0.31
+    assert 0.69 < heavy < 0.81
+    assert abs(len(out) / 2000 - 0.5) < 0.05
+
+
+def test_weighted_sample_rate_clamps_at_one(spark):
+    rows = [(i, 1000 if i == 0 else 1) for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, n_chars int")
+    out = {r["doc_id"]: r["keep_rate"] for r in
+           SA.weighted_sample(docs, "n_chars", 1.0).collect()}
+    assert out[0] == 1.0  # the heavy row always survives, P clamped
