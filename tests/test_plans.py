@@ -286,3 +286,40 @@ def test_substring_dup_plan_is_jvm_semi_join_with_partials(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "LeftSemi" in plan
     assert "partial_count" in plan  # map-side combine on the groupBys
+
+
+def test_weighted_sample_is_broadcast_filter_no_corpus_shuffle(spark, sf_dir):
+    """q80's physical contract: the mean enters as a one-row
+    IdentityBroadcast (single-partition aggregate), the membership
+    test runs inside the join condition at scan speed, and the corpus
+    side reaches the join straight from the FileScan — the only
+    Exchanges are the mean's SinglePartition reduce and the display
+    order-by."""
+    from fide_crawler_spark.plans import formatted_plan
+
+    df = QUERIES["q80_weighted_sample"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row build side
+    assert count_exchanges(df) <= 2, count_exchanges(df)
+    # schema pruned: only the key + weight columns are read
+    assert all(
+        set(cols) <= {"doc_id", "n_chars"} for cols in read_schema_columns(df)
+    )
+
+
+def test_retrieval_capstone_is_zero_shuffle_topk(spark, sf_dir):
+    """q81's physical contract: chunk → embed → cosine top-k collapses
+    into ONE codegen span ending in TakeOrderedAndProject — zero
+    Exchanges, zero Python eval, no global sort; only the scan's
+    (doc_id, text) columns are read."""
+    from fide_crawler_spark.plans import formatted_plan
+
+    df = QUERIES["q81_retrieval_capstone"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert count_exchanges(df) == 0, count_exchanges(df)
+    assert all(
+        set(cols) <= {"doc_id", "text"} for cols in read_schema_columns(df)
+    )
