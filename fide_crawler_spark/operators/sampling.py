@@ -140,18 +140,38 @@ def weighted_sample(
     partitioning and engine-portable (the mean enters as one broadcast
     aggregate row; the corpus never shuffles).  The mean is computed as
     exact-integer SUM / COUNT — avg() over doubles would be
-    partition-order dependent.
+    partition-order dependent.  Fractional weights (quality scores)
+    snap to fixed-point micro-units (×10^6, the textstats/search
+    discipline) before summing, so their mean is order-independent
+    too; the quantization error (≤5e-7 per row) is the documented
+    trade for determinism.
 
     Output: input columns + keep_rate (the row's clamped P).
     """
     assert rate >= 0.0
+    from pyspark.sql.types import DoubleType, FloatType
+
     from fide_crawler_spark.operators.dedup import md5h
 
+    fractional = isinstance(
+        docs.schema[weight_col].dataType, (DoubleType, FloatType)
+    )
+    scale = 1_000_000 if fractional else 1
+    if fractional:
+        w_fixed = F.floor(
+            F.col(weight_col).cast("double") * F.lit(float(scale)) + F.lit(0.5)
+        ).cast("bigint")
+    else:  # exact: no double round-trip for integral weights
+        w_fixed = F.col(weight_col).cast("bigint")
     m = docs.agg(
-        F.sum(F.col(weight_col).cast("bigint")).alias("__s"),
+        F.sum(w_fixed).alias("__s"),
         F.count("*").alias("__c"),
     ).select(
-        (F.col("__s").cast("double") / F.col("__c").cast("double")).alias("__mean")
+        (
+            F.col("__s").cast("double")
+            / F.col("__c").cast("double")
+            / F.lit(float(scale))
+        ).alias("__mean")
     )
     p = F.least(
         F.lit(1.0),

@@ -153,3 +153,30 @@ def test_weighted_sample_rate_clamps_at_one(spark):
     out = {r["doc_id"]: r["keep_rate"] for r in
            SA.weighted_sample(docs, "n_chars", 1.0).collect()}
     assert out[0] == 1.0  # the heavy row always survives, P clamped
+
+
+def test_weighted_sample_double_weights_fixed_point_mean(spark):
+    """Fractional weights (quality scores) snap to micro-units before
+    the mean so the decision is partition-order independent; replay
+    the exact fixed-point arithmetic in Python."""
+    rows = [(i, round(0.05 + (i * 29 % 97) / 100.0, 6)) for i in range(500)]
+    docs = spark.createDataFrame(rows, "doc_id long, quality double")
+    mean = sum(math.floor(w * 1_000_000 + 0.5) for _, w in rows) / 500 / 1_000_000
+    want = {
+        i
+        for i, w in rows
+        if _md5h60(str(i)) < math.floor(min(1.0, 0.5 * w / mean) * TWO60)
+    }
+    got = {
+        r["doc_id"]
+        for r in SA.weighted_sample(docs, "quality", 0.5).collect()
+    }
+    assert got == want
+    a = got
+    b = {
+        r["doc_id"]
+        for r in SA.weighted_sample(
+            docs.repartition(11, "quality"), "quality", 0.5
+        ).collect()
+    }
+    assert a == b
