@@ -17,7 +17,7 @@ no SQL equivalent) and are checked by pytest sequential/planted/zlib
 oracles instead.
 
 ``queries()`` returns the catalog in a deliberate order: the driver's
-correctness harness records the first 50 entries, and the 81-entry
+correctness harness records the first 50 entries, and the 82-entry
 catalog is rotated round-to-round so every entry holds a driver row
 (rounds 1-4 union: 69 entries).  Round 5's window = continuity anchors +
 q69-q81 (the only never-driver-checked entries) + the veterans whose

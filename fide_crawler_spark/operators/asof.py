@@ -37,9 +37,12 @@ def asof_join(
     same ``on`` key (null when no prior right row exists — LEFT ASOF
     semantics).
 
-    Right rows should be unique per (key, right_ts); with duplicates
-    the latest-by-internal-order wins, which is engine-dependent —
-    pre-aggregate to make ties deterministic.
+    Contract: right rows must be unique per (key, right_ts).  With
+    duplicate (key, ts) right rows the window order ties and which
+    payload wins is unspecified (it follows partition-internal row
+    order, which differs across engines and runs) — pre-aggregate the
+    right side (e.g. ``groupBy(key, ts).agg(max_by(...))``) when the
+    source can carry duplicates.
 
     Plan shape: union of the two inputs + ONE window shuffled by key,
     ordered by (ts, side).  The right row's payload travels as a single
