@@ -34,6 +34,7 @@ def pack_shards(
     num_partitions: int | None = None,
     caches: list | None = None,
     token_offset: int = 0,
+    offset_col: str | None = None,
 ) -> DataFrame:
     """Add ``shard_col`` = (cumulative tokens BEFORE this doc, in the
     total order) div ``shard_tokens``.  ``order_cols`` must be a total
@@ -52,6 +53,10 @@ def pack_shards(
     (the two passes must see the same partitioning); pass ``caches`` to
     receive the cached DataFrame and ``unpersist()`` it after consuming
     the result — otherwise it lives until session end.
+
+    ``offset_col`` additionally emits each doc's exact cumulative
+    starting token offset (the quantity ``shard_col`` floors) — the
+    hook ``pack_sequences`` builds on.
     """
     spark = docs.sparkSession
     # both passes accumulate in int64 (pass 1: int(SUM), pass 2:
@@ -86,6 +91,8 @@ def pack_shards(
     bc = spark.sparkContext.broadcast(offsets)
 
     out_schema = sorted_df.drop(_PID).schema.add(shard_col, "long")
+    if offset_col:
+        out_schema = out_schema.add(offset_col, "long")
     ddl = ", ".join(
         f"`{f.name}` {f.dataType.simpleString()}" for f in out_schema
     )
@@ -103,6 +110,8 @@ def pack_shards(
             running = int(ends.iloc[-1])
             out = pdf.drop(columns=[_PID]).copy()
             out[shard_col] = (starts // shard_tokens).astype("int64")
+            if offset_col:
+                out[offset_col] = starts.astype("int64")
             yield out
 
     if caches is not None:
@@ -131,4 +140,87 @@ def pack_shards_window(
     )
     return docs.withColumn(
         shard_col, F.floor(running_before / shard_tokens).cast("long")
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    token_col: str,
+    seq_len: int,
+    order_cols: list[Column],
+    id_cols: list[str] | None = None,
+    num_partitions: int | None = None,
+    caches: list | None = None,
+    token_offset: int = 0,
+) -> DataFrame:
+    """Concat-and-chop sequence packing — the standard pretraining
+    step that turns a token stream into fixed-``seq_len`` training
+    rows.  Documents, in the ``order_cols`` total order, are laid
+    end-to-end on one global token axis; every ``seq_len`` tokens form
+    one training sequence, and a document straddling a boundary is
+    SPLIT (each resulting piece is one output row).  Unlike
+    ``pack_shards`` (streaming-writer shard assignment: whole doc →
+    one shard by starting offset), this emits the exact piece layout a
+    tensor writer needs — every sequence except the trailing one is
+    exactly ``seq_len`` tokens with zero padding.
+
+    Output: ``id_cols`` (default: all non-token columns) +
+
+    * ``seq_id``     — global sequence index (offset_axis // seq_len)
+    * ``seq_pos``    — the piece's first-token position within the
+      sequence (0 ≤ seq_pos < seq_len)
+    * ``piece_start``— the piece's first-token position within the DOC
+    * ``piece_len``  — tokens in this piece (Σ over a doc = its count)
+
+    Scale shape: the only addition over ``pack_shards``'s two-pass
+    exact offsets is a JVM ``posexplode(sequence(...))`` whose fan-out
+    per doc is ceil(n/seq_len)+1 pieces — no shuffle, no window; a
+    10^12-token corpus at seq_len=8192 emits ~1.2×10^8 rows/TB, each a
+    few longs.  Token arrays themselves are NOT moved — downstream
+    writers ``slice(token_ids, piece_start+1, piece_len)`` against the
+    doc store, keeping this a metadata plan.
+
+    Determinism: offsets are exact integers from the two-pass layout,
+    so the piece table is byte-identical under any parallelism (same
+    contract as ``pack_shards``, pinned in tests).  ``token_offset``
+    is the same streaming-continuation hook.
+    """
+    id_cols = id_cols or [
+        c for c in docs.columns if c != token_col
+    ]
+    with_off = pack_shards(
+        docs,
+        token_col,
+        seq_len,
+        order_cols,
+        shard_col="__seq0",
+        num_partitions=num_partitions,
+        caches=caches,
+        token_offset=token_offset,
+        offset_col="__off",
+    )
+    n = F.col(token_col).cast("long")
+    # sequences touched: floor(off/L) .. floor((off+n-1)/L); empty
+    # docs (n=0) still emit one zero-length piece in their home seq
+    last = F.floor((F.col("__off") + F.greatest(n - 1, F.lit(0))) / seq_len)
+    pieces = with_off.select(
+        *id_cols,
+        n.alias("__n"),
+        F.col("__off"),
+        F.posexplode(F.sequence(F.col("__seq0"), last)).alias("__i", "seq_id"),
+    )
+    piece_start = F.greatest(
+        F.col("seq_id") * seq_len - F.col("__off"), F.lit(0)
+    )
+    piece_end = F.least(
+        (F.col("seq_id") + 1) * seq_len - F.col("__off"), F.col("__n")
+    )
+    return pieces.select(
+        *id_cols,
+        F.col("seq_id"),
+        F.greatest(
+            F.col("__off") - F.col("seq_id") * seq_len, F.lit(0)
+        ).alias("seq_pos"),
+        piece_start.alias("piece_start"),
+        (piece_end - piece_start).alias("piece_len"),
     )

@@ -3387,3 +3387,51 @@ def q81_retrieval_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cosine"),
         )
     )
+
+
+@query(
+    "q82_sequence_packing",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+      FROM documents
+    ),
+    o AS (
+      SELECT doc_id, n,
+             CAST(SUM(n) OVER (ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) - n AS BIGINT) AS off
+      FROM t
+    ),
+    p AS (
+      SELECT doc_id, n, off,
+             UNNEST(generate_series(off // 64,
+                                    (off + GREATEST(n - 1, 0)) // 64))
+               AS seq_id
+      FROM o
+    )
+    SELECT doc_id, seq_id,
+           GREATEST(off - seq_id * 64, 0) AS seq_pos,
+           GREATEST(seq_id * 64 - off, 0) AS piece_start,
+           LEAST((seq_id + 1) * 64 - off, n)
+             - GREATEST(seq_id * 64 - off, 0) AS piece_len
+    FROM p
+    ORDER BY seq_id, seq_pos, doc_id
+    """,
+)
+def q82_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chop sequence packing (shards.pack_sequences): docs
+    in doc_id order laid on one global token axis and chopped into
+    64-token training sequences, boundary docs split into pieces.
+    Offsets come from the two-pass exact layout (no global window);
+    the piece explode is a JVM posexplode(sequence(...)).  The oracle
+    replays the same arithmetic over a window cumsum — pure BIGINT,
+    zero rounding."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tok"),
+    )
+    return SH.pack_sequences(
+        docs, "n_tok", 64, [F.col("doc_id").asc()]
+    ).orderBy("seq_id", "seq_pos", "doc_id")

@@ -155,3 +155,88 @@ def test_best_match_enrich_scales_with_distinct_keys(spark):
         (F.col("tournament_name") == "event 42") & (F.col("dgt") == 1)
     ).limit(1).collect()
     assert exact and abs(exact[0]["dgt_accuracy"] - 1.0) < 1e-9
+
+
+def test_pack_sequences_python_replay_any_parallelism(spark):
+    """Concat-and-chop: replay the full piece layout in pure Python
+    (cumulative offsets, boundary splits) and require byte-identity at
+    two partition counts."""
+    from pyspark.sql import functions as F
+
+    from fide_crawler_spark.operators.shards import pack_sequences
+
+    L = 64
+    toks = [(i, 1 + (i * 37) % 150) for i in range(500)]
+    docs = spark.createDataFrame(toks, "doc_id long, n_tokens long")
+    off, want = 0, set()
+    for d, n in toks:  # doc_id order
+        for s in range(off // L, (off + max(n - 1, 0)) // L + 1):
+            ps = max(s * L - off, 0)
+            pe = min((s + 1) * L - off, n)
+            want.add((d, s, max(off - s * L, 0), ps, pe - ps))
+        off += n
+    for p in (3, 17):
+        got = {
+            (r["doc_id"], r["seq_id"], r["seq_pos"], r["piece_start"],
+             r["piece_len"])
+            for r in pack_sequences(
+                docs, "n_tokens", L, [F.col("doc_id").asc()],
+                num_partitions=p,
+            ).collect()
+        }
+        assert got == want
+
+
+def test_pack_sequences_invariants(spark):
+    """Every sequence except the last is exactly seq_len tokens and its
+    pieces tile [0, L) contiguously; per-doc pieces reassemble the doc."""
+    import collections
+
+    from pyspark.sql import functions as F
+
+    from fide_crawler_spark.operators.shards import pack_sequences
+
+    L = 100
+    toks = [(i, 30 + (i * 61) % 250) for i in range(300)]
+    docs = spark.createDataFrame(toks, "doc_id long, n_tokens long")
+    rows = pack_sequences(
+        docs, "n_tokens", L, [F.col("doc_id").asc()]
+    ).collect()
+    by_seq = collections.defaultdict(list)
+    by_doc = collections.defaultdict(list)
+    for r in rows:
+        by_seq[r["seq_id"]].append(r)
+        by_doc[r["doc_id"]].append(r)
+    last = max(by_seq)
+    for s, ps in by_seq.items():
+        ps.sort(key=lambda r: r["seq_pos"])
+        assert ps[0]["seq_pos"] == 0
+        for a, b in zip(ps, ps[1:]):
+            assert a["seq_pos"] + a["piece_len"] == b["seq_pos"]
+        total = sum(r["piece_len"] for r in ps)
+        assert total == L or (s == last and total <= L)
+    n_by_doc = dict(toks)
+    for d, ps in by_doc.items():
+        ps.sort(key=lambda r: r["piece_start"])
+        assert ps[0]["piece_start"] == 0
+        for a, b in zip(ps, ps[1:]):
+            assert a["piece_start"] + a["piece_len"] == b["piece_start"]
+        assert sum(r["piece_len"] for r in ps) == n_by_doc[d]
+
+
+def test_pack_sequences_zero_token_doc_single_empty_piece(spark):
+    from pyspark.sql import functions as F
+
+    from fide_crawler_spark.operators.shards import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(0, 10), (1, 0), (2, 10)], "doc_id long, n_tokens long"
+    )
+    rows = {
+        r["doc_id"]: (r["seq_id"], r["seq_pos"], r["piece_len"])
+        for r in pack_sequences(
+            docs, "n_tokens", 8, [F.col("doc_id").asc()]
+        ).collect()
+        if r["doc_id"] == 1
+    }
+    assert rows == {1: (1, 2, 0)}  # off=10 -> seq 1, pos 2, empty
