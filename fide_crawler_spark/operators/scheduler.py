@@ -87,6 +87,7 @@ class CrawlJob:
         enable_cuckoo: bool = False,
         cuckoo_buckets_per_part: int = 1 << 13,
         respect_robots: bool = False,
+        retain_snapshots: int | None = None,
     ):
         self.spark = spark
         self.workdir = workdir
@@ -99,6 +100,18 @@ class CrawlJob:
         self.enable_cuckoo = enable_cuckoo
         self.cuckoo_buckets_per_part = cuckoo_buckets_per_part
         self.respect_robots = respect_robots
+        # retention (Iceberg expire_snapshots): keep the newest K
+        # snapshots of frontier+documents after each epoch commit.  At
+        # 10^10 URLs an unbounded history accumulates one frontier file
+        # set per epoch forever; K≥2 keeps the crash-reconciliation
+        # window (resume reads only the latest snapshot; doc re-appends
+        # are idempotent via read_documents' latest-copy rule).
+        # Incremental consumers (read_new_documents) must keep up
+        # within the window — beyond it their since_snap manifest is
+        # expired and the read fails, exactly Iceberg's semantics.
+        if retain_snapshots is not None and retain_snapshots < 2:
+            raise ValueError("retain_snapshots must be >= 2 (or None)")
+        self.retain_snapshots = retain_snapshots
         self.frontier_tbl = SnapshotTable(os.path.join(workdir, "frontier"))
         self.docs_tbl = SnapshotTable(os.path.join(workdir, "documents"))
         self.robots_tbl = SnapshotTable(os.path.join(workdir, "robots"))
@@ -383,6 +396,12 @@ class CrawlJob:
                 state=state,
                 lineage=lineage,
             )
+        if self.retain_snapshots is not None:
+            # after the commit point only — an expired history can never
+            # be observed mid-epoch
+            with _phase(prof, "expire_snapshots"):
+                self.frontier_tbl.expire_snapshots(self.retain_snapshots)
+                self.docs_tbl.expire_snapshots(self.retain_snapshots)
         return {
             "epoch": e,
             "dequeued": n_batch,

@@ -148,8 +148,8 @@ class SnapshotTable:
         append-per-epoch table accumulates one file set per epoch; scans
         then pay per-file open cost and tiny row groups.  Time travel to
         pre-compaction snapshots still works — their manifests reference
-        the old files, which compaction never deletes (expiry is a
-        separate retention concern, as in Iceberg).
+        the old files, which compaction never deletes (retention is
+        :meth:`expire_snapshots`, as in Iceberg).
         """
         m = self.manifest()
         current = self.read(spark)
@@ -195,6 +195,64 @@ class SnapshotTable:
         }
 
     # -- commit ----------------------------------------------------------------
+    def expire_snapshots(self, keep_last: int = 1) -> dict:
+        """Retention GC (Iceberg ``expire_snapshots``): drop all but the
+        newest ``keep_last`` snapshots, then delete every data file set
+        no surviving manifest references.  Completes the lifecycle story
+        :meth:`compact` defers to "a separate retention concern" — an
+        append-per-epoch table otherwise accumulates one file set per
+        epoch forever.
+
+        Semantics match Iceberg exactly:
+
+        * surviving snapshots are untouched — their ``data_paths`` keep
+          resolving, because an EXPIRED snapshot whose file set is still
+          referenced by a surviving append chain loses only its
+          visibility marker (manifest.json + sidecar state); the data
+          dir stays until no survivor references it,
+        * time travel to an expired snapshot fails (``manifest`` raises),
+        * crash safety: visibility markers are deleted before any data,
+          so an interrupted expiry can never leave a visible snapshot
+          with missing files — re-running finishes the sweep (orphan
+          data dirs with no manifest are collected once unreferenced).
+
+        Also clears dead ``.staging`` dirs from killed commits (numbered
+        ≤ latest; an in-flight commit stages at latest+1).  Single
+        writer assumed, like all mutations here.  Returns
+        ``{"expired": [...], "removed_filesets": [...]}``.
+        """
+        if keep_last < 1:
+            raise ValueError("expire_snapshots: keep_last must be >= 1")
+        snaps = self.snapshots()
+        survivors = snaps[-keep_last:]
+        expired = [s for s in snaps if s not in survivors]
+        referenced = {
+            p for s in survivors for p in self.manifest(s)["data_paths"]
+        }
+        # 1. visibility first: expired snapshots stop being readable
+        for s in expired:
+            d = self._dir(s)
+            os.remove(os.path.join(d, "manifest.json"))
+            shutil.rmtree(os.path.join(d, "state"), ignore_errors=True)
+        # 2. sweep file sets: any snap-*/data (including orphans from a
+        # prior interrupted expiry) that no survivor references
+        removed = []
+        latest = survivors[-1] if survivors else -1
+        for name in sorted(os.listdir(self.root)):
+            if not name.startswith("snap-"):
+                continue
+            if name.endswith(".staging"):
+                if int(name.split("-")[1].split(".")[0]) <= latest:
+                    shutil.rmtree(os.path.join(self.root, name))
+                continue
+            num = int(name.split("-")[1])
+            if num in survivors:
+                continue
+            if f"{name}/data" not in referenced:
+                shutil.rmtree(os.path.join(self.root, name))
+                removed.append(f"{name}/data")
+        return {"expired": expired, "removed_filesets": removed}
+
     def _stage_dirs(self, snap: int) -> tuple[str, str]:
         sdir = self._dir(snap)
         stage = sdir + ".staging"

@@ -31,6 +31,11 @@ def main() -> None:
     ap.add_argument("--max-epochs", type=int, default=1000)
     ap.add_argument("--page-weight", type=int, default=1)
     ap.add_argument("--fetch-mode", default="synthetic")
+    ap.add_argument(
+        "--retain-snapshots", type=int, default=None,
+        help="keep only the newest K (>=2) frontier/doc snapshots per "
+        "epoch (Iceberg expire_snapshots; default: unbounded history)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -56,6 +61,7 @@ def main() -> None:
         budget_per_host=args.budget,
         page_weight=args.page_weight,
         fetch_mode=args.fetch_mode,
+        retain_snapshots=args.retain_snapshots,
     )
     job.init(frontier)  # no-op when resuming an existing workdir
     t0 = time.time()

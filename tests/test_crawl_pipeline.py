@@ -206,3 +206,60 @@ def test_duplicate_admission_not_refetched(spark, frontier_rows, tmp_path):
     stats = j.run_epoch()
     assert stats["dequeued"] == 0, "seen URLs must not be re-dequeued"
     assert j.docs_tbl.read(spark).count() == n_docs_before
+
+
+def test_retention_bounds_history_and_preserves_output(
+    spark, frontier_rows, tmp_path
+):
+    """retain_snapshots=2 expires frontier/doc history per epoch: the
+    final corpus and frontier equal the unbounded run's, snapshot
+    counts stay bounded, and append-chain doc file sets referenced by
+    the surviving manifest are untouched."""
+    base = CrawlJob(
+        spark, str(tmp_path / "unbounded"), budget_per_host=BUDGET, n_salts=2
+    )
+    base.init(spark.createDataFrame(frontier_rows))
+    base.run()
+    j = CrawlJob(
+        spark, str(tmp_path / "retained"), budget_per_host=BUDGET,
+        n_salts=2, retain_snapshots=2,
+    )
+    j.init(spark.createDataFrame(frontier_rows))
+    j.run()
+    assert len(j.frontier_tbl.snapshots()) <= 2
+    assert len(j.docs_tbl.snapshots()) <= 2
+    assert spark_spans(j) == spark_spans(base)
+    fr = lambda job: sorted(  # noqa: E731
+        (r["url"], r["status"])
+        for r in job.frontier_tbl.read(spark).collect()
+    )
+    assert fr(j) == fr(base)
+
+
+def test_retention_guard_rejects_unsafe_window(spark, tmp_path):
+    with pytest.raises(ValueError):
+        CrawlJob(spark, str(tmp_path / "bad"), retain_snapshots=1)
+
+
+def test_retention_resume_after_kill(spark, frontier_rows, tmp_path):
+    """Kill mid-crawl with retention on: resume completes and matches
+    the uninterrupted retained run (the loop never reads expired
+    history)."""
+    wd = str(tmp_path / "ret_resume")
+    j1 = CrawlJob(
+        spark, wd, budget_per_host=BUDGET, n_salts=2, retain_snapshots=2
+    )
+    j1.init(spark.createDataFrame(frontier_rows))
+    j1.run_epoch()
+    j1.run_epoch()  # "killed" here: a fresh job object resumes
+    j2 = CrawlJob(
+        spark, wd, budget_per_host=BUDGET, n_salts=2, retain_snapshots=2
+    )
+    j2.run()
+    ref = CrawlJob(
+        spark, str(tmp_path / "ret_ref"), budget_per_host=BUDGET,
+        n_salts=2, retain_snapshots=2,
+    )
+    ref.init(spark.createDataFrame(frontier_rows))
+    ref.run()
+    assert spark_spans(j2) == spark_spans(ref)

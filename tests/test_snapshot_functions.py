@@ -254,3 +254,88 @@ def test_plain_commit_refused_on_partitioned_table(spark, tmp_path):
     # metadata-only commits still fine (state updates carry the map)
     snap = t.commit(None, metrics={"x": 1})
     assert t.manifest(snap)["partitions"] == {"a": "snap-00000/data"}
+
+
+def test_expire_keeps_referenced_append_chain_filesets(spark, tmp_path):
+    """Expiring an append chain's history keeps the latest snapshot
+    byte-identical: old snapshots lose visibility (manifest gone) but
+    their file sets survive while the surviving manifest references
+    them."""
+    import os
+
+    t = SnapshotTable(str(tmp_path / "exp"))
+    for lo in range(0, 12, 4):
+        t.commit(
+            spark.range(lo, lo + 4).withColumnRenamed("id", "v"),
+            mode="append",
+        )
+    before = sorted(r["v"] for r in t.read(spark).collect())
+    out = t.expire_snapshots(keep_last=1)
+    assert out["expired"] == [0, 1] and out["removed_filesets"] == []
+    assert t.snapshots() == [2]
+    with pytest.raises(FileNotFoundError):
+        t.manifest(0)
+    # referenced data dirs survive, read is unchanged
+    assert os.path.isdir(tmp_path / "exp" / "snap-00000" / "data")
+    assert sorted(r["v"] for r in t.read(spark).collect()) == before
+
+
+def test_expire_removes_unreferenced_overwrite_history(spark, tmp_path):
+    import os
+
+    t = SnapshotTable(str(tmp_path / "exp2"))
+    t.commit(spark.range(0, 4).withColumnRenamed("id", "v"))
+    t.commit(spark.range(10, 14).withColumnRenamed("id", "v"))
+    out = t.expire_snapshots(keep_last=1)
+    assert out["removed_filesets"] == ["snap-00000/data"]
+    assert not os.path.exists(tmp_path / "exp2" / "snap-00000")
+    assert sorted(r["v"] for r in t.read(spark).collect()) == [10, 11, 12, 13]
+
+
+def test_expire_keep_last_two_and_guard(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "exp3"))
+    for i in range(3):
+        t.commit(spark.range(i, i + 2).withColumnRenamed("id", "v"))
+    with pytest.raises(ValueError):
+        t.expire_snapshots(keep_last=0)
+    t.expire_snapshots(keep_last=2)
+    assert t.snapshots() == [1, 2]
+    assert t.read(spark, 1).count() == 2  # surviving time travel intact
+
+
+def test_expire_collects_orphans_once_unreferenced(spark, tmp_path):
+    """Two-step lifecycle: expiry of an append chain leaves referenced
+    orphan data dirs; after an overwrite drops the references, the next
+    expiry collects them."""
+    import os
+
+    t = SnapshotTable(str(tmp_path / "exp4"))
+    t.commit(spark.range(0, 4).withColumnRenamed("id", "v"), mode="append")
+    t.commit(spark.range(4, 8).withColumnRenamed("id", "v"), mode="append")
+    t.expire_snapshots(keep_last=1)  # snap-00000 orphaned but referenced
+    assert os.path.isdir(tmp_path / "exp4" / "snap-00000" / "data")
+    t.commit(spark.range(9, 10).withColumnRenamed("id", "v"))  # overwrite
+    out = t.expire_snapshots(keep_last=1)
+    assert "snap-00000/data" in out["removed_filesets"]
+    assert not os.path.exists(tmp_path / "exp4" / "snap-00000")
+    assert [r["v"] for r in t.read(spark).collect()] == [9]
+
+
+def test_expire_partitioned_table_masked_reads_survive(spark, tmp_path):
+    """Partition-overwrite chains: expiry keeps every file set the
+    surviving partition map references and the masked read is
+    unchanged."""
+    t = SnapshotTable(str(tmp_path / "exp5"))
+    df = spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 1)], "k long, p string, v long"
+    )
+    t.commit_partition_overwrite(df, "p")
+    t.commit_partition_overwrite(
+        spark.createDataFrame([(3, "a", 2)], "k long, p string, v long"), "p"
+    )
+    before = sorted(map(tuple, t.read(spark).collect()))
+    out = t.expire_snapshots(keep_last=1)
+    assert out["expired"] == [0]
+    # snap-00000/data still referenced by partition 'b'
+    assert out["removed_filesets"] == []
+    assert sorted(map(tuple, t.read(spark).collect())) == before
