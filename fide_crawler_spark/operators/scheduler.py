@@ -88,6 +88,7 @@ class CrawlJob:
         cuckoo_buckets_per_part: int = 1 << 13,
         respect_robots: bool = False,
         retain_snapshots: int | None = None,
+        compact_docs_every: int | None = None,
     ):
         self.spark = spark
         self.workdir = workdir
@@ -112,6 +113,16 @@ class CrawlJob:
         if retain_snapshots is not None and retain_snapshots < 2:
             raise ValueError("retain_snapshots must be >= 2 (or None)")
         self.retain_snapshots = retain_snapshots
+        # the doc table is an append chain — one file set per epoch, all
+        # referenced by the latest manifest forever.  Periodic compaction
+        # (Iceberg rewrite_data_files) folds them into one set; with
+        # retention on, the next expiry then collects the released sets
+        # — together the full storage-reclaim cycle.  At cluster scale
+        # compact per partition / off the critical path; here it rides
+        # the epoch loop.
+        if compact_docs_every is not None and compact_docs_every < 1:
+            raise ValueError("compact_docs_every must be >= 1 (or None)")
+        self.compact_docs_every = compact_docs_every
         self.frontier_tbl = SnapshotTable(os.path.join(workdir, "frontier"))
         self.docs_tbl = SnapshotTable(os.path.join(workdir, "documents"))
         self.robots_tbl = SnapshotTable(os.path.join(workdir, "robots"))
@@ -396,6 +407,13 @@ class CrawlJob:
                 state=state,
                 lineage=lineage,
             )
+        if (
+            self.compact_docs_every is not None
+            and e >= 0 and e % self.compact_docs_every == 0
+            and len(self.docs_tbl.manifest()["data_paths"]) > 1
+        ):
+            with _phase(prof, "compact_docs"):
+                self.docs_tbl.compact(spark)
         if self.retain_snapshots is not None:
             # after the commit point only — an expired history can never
             # be observed mid-epoch

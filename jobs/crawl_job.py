@@ -36,6 +36,12 @@ def main() -> None:
         help="keep only the newest K (>=2) frontier/doc snapshots per "
         "epoch (Iceberg expire_snapshots; default: unbounded history)",
     )
+    ap.add_argument(
+        "--compact-docs-every", type=int, default=None,
+        help="fold the doc append chain into one file set every N "
+        "epochs (Iceberg rewrite_data_files); with retention on, the "
+        "following expiry collects the released sets",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -62,6 +68,7 @@ def main() -> None:
         page_weight=args.page_weight,
         fetch_mode=args.fetch_mode,
         retain_snapshots=args.retain_snapshots,
+        compact_docs_every=args.compact_docs_every,
     )
     job.init(frontier)  # no-op when resuming an existing workdir
     t0 = time.time()

@@ -263,3 +263,36 @@ def test_retention_resume_after_kill(spark, frontier_rows, tmp_path):
     ref.init(spark.createDataFrame(frontier_rows))
     ref.run()
     assert spark_spans(j2) == spark_spans(ref)
+
+
+def test_compaction_cycle_reclaims_doc_filesets(spark, frontier_rows, tmp_path):
+    """compact_docs_every + retain_snapshots = the full storage-reclaim
+    cycle: the doc table's file-set list stays bounded (compaction folds
+    the append chain; the following expiry collects released sets) and
+    the corpus is unchanged."""
+    import os
+
+    base = CrawlJob(
+        spark, str(tmp_path / "cc_base"), budget_per_host=BUDGET, n_salts=2
+    )
+    base.init(spark.createDataFrame(frontier_rows))
+    base.run()
+    j = CrawlJob(
+        spark, str(tmp_path / "cc_ret"), budget_per_host=BUDGET, n_salts=2,
+        retain_snapshots=2, compact_docs_every=2,
+    )
+    j.init(spark.createDataFrame(frontier_rows))
+    j.run()
+    assert spark_spans(j) == spark_spans(base)
+    m = j.docs_tbl.manifest()
+    n_epochs = len(base.docs_tbl.snapshots())
+    # without compaction the latest manifest references one set per
+    # epoch; with the cycle it references at most the sets since the
+    # last compaction
+    assert len(m["data_paths"]) < n_epochs
+    # and the expired+released sets are truly gone from disk
+    on_disk = [
+        d for d in os.listdir(str(tmp_path / "cc_ret" / "documents"))
+        if d.startswith("snap-") and not d.endswith(".staging")
+    ]
+    assert len(on_disk) <= len(m["data_paths"]) + 2
