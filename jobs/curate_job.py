@@ -8,6 +8,8 @@ real artifacts (not just a query result):
     chunking → token-budget shard packing →
     <out>/shards/  (chunk rows partitioned by shard_id)
     <out>/vocab/   (frequency-ranked vocabulary)
+    <out>/sequences/ (optional --seq-len: concat-and-chop fixed-length
+                     training-sequence piece manifest)
     <out>/stats.json (one-line corpus accounting)
 
 Example:
@@ -39,6 +41,12 @@ def main() -> None:
     ap.add_argument("--overlap", type=int, default=8)
     ap.add_argument("--shard-tokens", type=int, default=4096)
     ap.add_argument("--vocab-size", type=int, default=1000)
+    ap.add_argument(
+        "--seq-len", type=int, default=None,
+        help="also write <out>/sequences/: the concat-and-chop "
+        "fixed-length training-sequence piece manifest "
+        "(shards.pack_sequences) over the same chunk order",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -88,6 +96,21 @@ def main() -> None:
     vocab = TK.build_vocab(train, vocab_size=args.vocab_size)
     vocab.write.mode("overwrite").parquet(f"{args.out}/vocab")
 
+    seq_stats = {}
+    if args.seq_len is not None:
+        seqs = SH.pack_sequences(
+            chunks.select("doc_id", "chunk_id", "n_tokens"),
+            "n_tokens",
+            args.seq_len,
+            [F.col("doc_id").asc(), F.col("chunk_id").asc()],
+        )
+        seqs.write.mode("overwrite").parquet(f"{args.out}/sequences")
+        w = spark.read.parquet(f"{args.out}/sequences")
+        seq_stats = {
+            "sequences": w.select("seq_id").distinct().count(),
+            "seq_pieces": w.count(),
+        }
+
     written = spark.read.parquet(f"{args.out}/shards")
     stats = {
         "docs_in": n_in,
@@ -96,6 +119,7 @@ def main() -> None:
         "tokens": written.agg(F.sum("n_tokens")).first()[0],
         "shards": written.select("shard_id").distinct().count(),
         "vocab_terms": spark.read.parquet(f"{args.out}/vocab").count(),
+        **seq_stats,
         "sec": round(time.time() - t0, 2),
     }
     with open(f"{args.out}/stats.json", "w") as f:
