@@ -240,3 +240,35 @@ def test_pack_sequences_zero_token_doc_single_empty_piece(spark):
         if r["doc_id"] == 1
     }
     assert rows == {1: (1, 2, 0)}  # off=10 -> seq 1, pos 2, empty
+
+
+def test_pack_sequences_token_offset_continuation(spark):
+    """The streaming hook: packing two halves with token_offset =
+    committed total equals packing the whole corpus at once — the same
+    associativity contract pack_shards carries."""
+    from pyspark.sql import functions as F
+
+    from fide_crawler_spark.operators.shards import pack_sequences
+
+    L = 64
+    toks = [(i, 1 + (i * 53) % 120) for i in range(400)]
+    docs = spark.createDataFrame(toks, "doc_id long, n_tokens long")
+    whole = {
+        tuple(r) for r in pack_sequences(
+            docs, "n_tokens", L, [F.col("doc_id").asc()]
+        ).collect()
+    }
+    first = docs.filter("doc_id < 200")
+    rest = docs.filter("doc_id >= 200")
+    committed = sum(n for d, n in toks if d < 200)
+    split = {
+        tuple(r) for r in pack_sequences(
+            first, "n_tokens", L, [F.col("doc_id").asc()]
+        ).collect()
+    } | {
+        tuple(r) for r in pack_sequences(
+            rest, "n_tokens", L, [F.col("doc_id").asc()],
+            token_offset=committed,
+        ).collect()
+    }
+    assert split == whole
