@@ -17,10 +17,10 @@ no SQL equivalent) and are checked by pytest sequential/planted/zlib
 oracles instead.
 
 ``queries()`` returns the catalog in a deliberate order: the driver's
-correctness harness records the first 50 entries, and the 83-entry
+correctness harness records the first 50 entries, and the 84-entry
 catalog is rotated round-to-round so every entry holds a driver row
 (rounds 1-4 union: 69 entries).  Round 5's window = continuity anchors +
-q69-q82 (the only never-driver-checked entries) + the veterans whose
+q69-q83 (the only never-driver-checked entries) + the veterans whose
 newest rows are CORRECTNESS_r03 + the head of the catalog; the
 rotated-out entries all hold green CORRECTNESS_r04 rows and keep their
 local DuckDB-compare tests (tests/test_queries_oracle.py runs ALL
@@ -63,7 +63,7 @@ _ANCHORS = [
 # any round (locally oracle-green; rounds 1-4 recorded the other 69).
 _NEVER_CHECKED = [
     n for n in QUERIES
-    if n[0] == "q" and n[1:3].isdigit() and 69 <= int(n[1:3]) <= 82
+    if n[0] == "q" and n[1:3].isdigit() and 69 <= int(n[1:3]) <= 83
 ]
 # Veterans rotated OUT of the round-4 window (their newest driver rows
 # are CORRECTNESS_r03): back in-window this round for a fresh row, ahead

@@ -3435,3 +3435,62 @@ def q82_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SH.pack_sequences(
         docs, "n_tok", 64, [F.col("doc_id").asc()]
     ).orderBy("seq_id", "seq_pos", "doc_id")
+
+
+_Q83_ORACLE = f"""
+    WITH ppl_t AS (
+      {ORACLE["q77_lm_perplexity"].replace("FROM agg ORDER BY doc_id", "FROM agg")}
+    ),
+    ranked AS (
+      SELECT doc_id, ppl,
+             ROW_NUMBER() OVER (ORDER BY ppl, doc_id) AS rk,
+             COUNT(*) OVER () AS n
+      FROM ppl_t
+    ),
+    b AS (
+      SELECT doc_id, ppl,
+             CAST(FLOOR(3.0 * (rk - 1) / n) AS BIGINT) AS bucket,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               AS h
+      FROM ranked
+    )
+    SELECT doc_id, ppl, bucket FROM b
+    WHERE bucket = 0
+       OR (bucket = 1 AND h < 576460752303423488)
+       OR (bucket = 2 AND h < 115292150460684697)
+    ORDER BY doc_id
+"""
+
+
+@query("q83_ccnet_bucket_sample", _Q83_ORACLE)
+def q83_ccnet_bucket_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail curation (Wenzek et al. 2019): docs
+    ranked by bigram-LM perplexity (q77's scorer), split into exact
+    rank terciles — bucket = floor(3·(rk−1)/n) over the
+    (ppl, doc_id) total order, computed with the two-pass
+    rank.grouped_rank (NO unpartitioned window) and one broadcast
+    count row — then sampled per bucket with md5h60 membership:
+    head kept whole, middle at 1/2 (h < 2^59), tail at 1/10
+    (h < floor(2^60/10)).  The full CCNet shape as one lazy plan;
+    every stage deterministic under any parallelism."""
+    from fide_crawler_spark.operators.lmquality import lm_perplexity
+    from fide_crawler_spark.operators.rank import grouped_rank
+
+    docs = load(spark, sf_dir, "documents")
+    ppl = lm_perplexity(docs, vocab_size=16, add_k=0.5).select("doc_id", "ppl")
+    ranked = grouped_rank(
+        ppl, [], [F.asc("ppl"), F.asc("doc_id")], rank_col="rk"
+    )
+    n = ppl.agg(F.count(F.lit(1)).alias("__n"))
+    b = ranked.join(F.broadcast(n)).select(
+        "doc_id", "ppl",
+        F.floor(F.lit(3.0) * (F.col("rk") - 1) / F.col("__n"))
+        .cast("bigint").alias("bucket"),
+        D.md5h(F.col("doc_id").cast("string")).alias("__h"),
+    )
+    keep = (
+        (F.col("bucket") == 0)
+        | ((F.col("bucket") == 1) & (F.col("__h") < F.lit(576460752303423488)))
+        | ((F.col("bucket") == 2) & (F.col("__h") < F.lit(115292150460684697)))
+    )
+    return b.filter(keep).drop("__h").orderBy("doc_id")

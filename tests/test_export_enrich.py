@@ -276,7 +276,7 @@ def test_best_match_exact_scorer_ranks_indel_pairs_like_reference(spark):
 def test_driver_window_covers_never_checked_entries():
     """The driver's correctness harness records only the FIRST 50
     entries of queries(); the round-5 rotation in __spark_entry__ must
-    put the round-4/5 additions q69-q82 (the only entries with no driver
+    put the round-4/5 additions q69-q83 (the only entries with no driver
     row in any round) plus the r3-era veterans due a refresh inside
     that window, alongside the continuity anchors.  The only window
     entries without a SQL oracle are the genuinely non-SQL-expressible
@@ -297,9 +297,9 @@ def test_driver_window_covers_never_checked_entries():
         assert n in window, f"anchor {n} fell out of the driver window"
     never_checked = {
         n for n in names
-        if n[0] == "q" and n[1:3].isdigit() and 69 <= int(n[1:3]) <= 82
+        if n[0] == "q" and n[1:3].isdigit() and 69 <= int(n[1:3]) <= 83
     }
-    assert len(never_checked) == 14
+    assert len(never_checked) == 15
     assert never_checked <= window, never_checked - window
     refresh = set(mod._REFRESH)
     assert len(refresh) == 19

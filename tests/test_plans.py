@@ -323,3 +323,18 @@ def test_retrieval_capstone_is_zero_shuffle_topk(spark, sf_dir):
     assert all(
         set(cols) <= {"doc_id", "text"} for cols in read_schema_columns(df)
     )
+
+
+def test_ccnet_bucket_sample_has_no_unpartitioned_window(spark, sf_dir):
+    """q83's physical contract: the rank terciles come from the
+    two-pass grouped_rank (Arrow mapInPandas over a range-partitioned
+    sort) and the doc count rides a broadcast — the plan has NO Window
+    node (a global row_number would serialize the corpus into one
+    task) and no row-at-a-time Python eval."""
+    from fide_crawler_spark.plans import formatted_plan
+
+    df = QUERIES["q83_ccnet_bucket_sample"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Window" not in plan, "global window crept into q83"
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # one-row count build side
