@@ -147,6 +147,11 @@ def weighted_sample(
     trade for determinism.
 
     Output: input columns + keep_rate (the row's clamped P).
+
+    Weights must be non-negative (probabilities scale linearly in w);
+    a negative-weight row gets P<0 and is never kept, and a corpus
+    whose MEAN went negative would invert every decision — validate
+    upstream, the operator adds no checking job.
     """
     assert rate >= 0.0
     from pyspark.sql.types import DoubleType, FloatType
