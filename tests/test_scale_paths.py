@@ -272,3 +272,23 @@ def test_pack_sequences_token_offset_continuation(spark):
         ).collect()
     }
     assert split == whole
+
+
+def test_connected_components_hub_star_graph(spark):
+    """Skew witness: a 200k-edge star (one hub) is the worst case for
+    neighbourhood materialization — the distributed rounds must finish
+    with groupBy-min + joins only (no collect_list, asserted in
+    test_cluster) and label every spoke with the component min even
+    when the min IS the hub's neighbour set's smallest member."""
+    from pyspark.sql import functions as F
+
+    from fide_crawler_spark.operators.cluster import connected_components
+
+    hub = 100_000
+    edges = spark.range(200_000).select(
+        F.lit(hub).alias("doc_a"), F.col("id").alias("doc_b")
+    ).filter(F.col("doc_b") != hub)
+    out = connected_components(edges, driver_cap=0)
+    assert out.count() == 200_000
+    # min node of the component is id 0
+    assert out.filter(F.col("component") != 0).count() == 0
