@@ -52,7 +52,7 @@ from fide_crawler_spark.operators.dedup import (
     incremental_dedup,
     minhash_dedup,
 )
-from fide_crawler_spark.operators.shards import pack_shards
+from fide_crawler_spark.operators.shards import pack_sequences, pack_shards
 from fide_crawler_spark.streaming import state as ST
 
 
@@ -99,11 +99,13 @@ def make_curation_processor(
     chunk_tokens: int = 64,
     overlap: int = 8,
     shard_tokens: int = 256,
+    seq_len: int | None = None,
 ):
     """foreachBatch body of the streaming capstone (exposed as a
     factory so replay idempotency and state accumulation are directly
     testable — call it by hand with chosen batch_ids)."""
     linefreq_path = os.path.join(state_dir, "linefreq")
+    sequences_path = os.path.join(state_dir, "sequences")
     corpus_path = os.path.join(state_dir, "corpus")
     bands_path = os.path.join(state_dir, "bands")
     shards_path = os.path.join(state_dir, "shards")
@@ -194,6 +196,21 @@ def make_curation_processor(
         packed.write.mode("overwrite").parquet(
             os.path.join(shards_path, part)
         )
+        if seq_len is not None:
+            # concat-and-chop training sequences on the SAME global
+            # token axis (token_offset continuation is associative —
+            # pinned in tests/test_scale_paths.py) — committed with
+            # the batch, before the marker, like every other sink
+            pack_sequences(
+                chunks.select("doc_id", "chunk_id", "n_tokens"),
+                "n_tokens",
+                seq_len,
+                [F.col("doc_id").asc(), F.col("chunk_id").asc()],
+                caches=caches,
+                token_offset=token_offset,
+            ).write.mode("overwrite").parquet(
+                os.path.join(sequences_path, part)
+            )
         for c in caches:
             c.unpersist()
         # publish: atomic rename AFTER all four writes succeeded
@@ -224,6 +241,17 @@ def start_curation_stream(
         .writeStream.foreachBatch(process)
         .option("checkpointLocation", checkpoint)
         .start()
+    )
+
+
+def read_curated_sequences(spark: SparkSession, state_dir: str) -> DataFrame:
+    """All committed training-sequence piece rows (seq_len mode)."""
+    commits_dir = os.path.join(state_dir, "_commits")
+    ids = ST.committed_ids(commits_dir)
+    return (
+        spark.read.parquet(os.path.join(state_dir, "sequences"))
+        .filter(F.col("batch_id").isin(ids))
+        .drop("batch_id")
     )
 
 

@@ -254,3 +254,43 @@ def test_replay_committed_and_crash_replay(spark, tmp_path):
     shutil.rmtree(os.path.join(state, "bands", "batch_id=1"))
     proc(b1, 1)
     assert snapshot() == committed
+
+
+def test_streamed_sequences_continue_global_token_axis(spark, tmp_path):
+    """seq_len mode: the streamed sequence manifest must equal the
+    closed-form piece layout over the committed chunk stream in
+    (doc_id, chunk_id) order on ONE global axis — i.e. the token
+    offset really continued across triggers (a per-trigger restart
+    would leave short interior sequences and shifted seq_ids)."""
+    from fide_crawler_spark.streaming.curation import read_curated_sequences
+
+    L = 12
+    src = _write_batches(tmp_path, BATCHES)
+    state = str(tmp_path / "state")
+    q = start_curation_stream(
+        spark, src, state, checkpoint=str(tmp_path / "ckpt"),
+        seq_len=L, **PARAMS,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    chunks = sorted(
+        (r["doc_id"], r["chunk_id"], r["n_tokens"])
+        for r in read_curated_shards(spark, state).collect()
+    )
+    off, want = 0, set()
+    for d, c, n in chunks:
+        for s in range(off // L, (off + max(n - 1, 0)) // L + 1):
+            ps = max(s * L - off, 0)
+            pe = min((s + 1) * L - off, n)
+            want.add((d, c, s, max(off - s * L, 0), ps, pe - ps))
+        off += n
+    got = {
+        (r["doc_id"], r["chunk_id"], r["seq_id"], r["seq_pos"],
+         r["piece_start"], r["piece_len"])
+        for r in read_curated_sequences(spark, state).collect()
+    }
+    assert got == want
+    # batches really contributed distinct axis regions
+    assert len({r[2] for r in got}) > 1
