@@ -72,29 +72,41 @@ class SnapshotTable:
         partition values still VALID in that file set — a newer commit
         that rewrote partition P masks P's stale rows in older file
         sets, exactly like Iceberg manifest-level overwrite semantics.
+
+        Additive schema evolution: every commit fingerprints its file
+        set's schema in the manifest (``fileset_schemas``); when the
+        sets a read spans genuinely differ, the scan turns on parquet
+        ``mergeSchema`` (union of columns, absent ones NULL — Iceberg
+        add-column semantics).  The common identical-schema case keeps
+        the plain single-footer read — no merge cost.
         """
         from pyspark.sql import functions as F
 
         m = self.manifest(snap)
+        fs = m.get("fileset_schemas", {})
+        ddls = {fs[p] for p in m["data_paths"] if p in fs}
+        reader = spark.read
+        if len(ddls) > 1:
+            reader = reader.option("mergeSchema", "true")
         pcol = m.get("partition_col")
         if not pcol:
             paths = [os.path.join(self.root, p) for p in m["data_paths"]]
-            return spark.read.parquet(*paths)
+            return reader.parquet(*paths)
         if not m["partitions"]:
             # a table whose only commit(s) were empty: plain read of the
             # (schema-carrying, zero-row) file sets
             paths = [os.path.join(self.root, p) for p in m["data_paths"]]
-            return spark.read.parquet(*paths)
+            return reader.parquet(*paths)
         by_dir: dict[str, list[str]] = {}
         for value, rel in m["partitions"].items():
             by_dir.setdefault(rel, []).append(value)
         scans = []
         for rel, values in sorted(by_dir.items()):
-            scan = spark.read.parquet(os.path.join(self.root, rel))
+            scan = reader.parquet(os.path.join(self.root, rel))
             scans.append(scan.filter(F.col(pcol).cast("string").isin(values)))
         out = scans[0]
         for s in scans[1:]:
-            out = out.unionByName(s)
+            out = out.unionByName(s, allowMissingColumns=len(ddls) > 1)
         return out
 
     def read_changes(
@@ -331,11 +343,19 @@ class SnapshotTable:
         elif mode != "append" and prev is not None:
             data_paths.extend(self.manifest(prev)["data_paths"])
 
+        parent_fs = (
+            self.manifest(prev).get("fileset_schemas", {})
+            if prev is not None else {}
+        )
+        fileset_schemas = {p: parent_fs[p] for p in data_paths if p in parent_fs}
+        if df is not None:
+            fileset_schemas[rel] = df.schema.simpleString()
         manifest = {
             "snapshot": snap,
             "parent": prev,
             "mode": mode,
             "data_paths": data_paths,
+            "fileset_schemas": fileset_schemas,
             "metrics": metrics or {},
             "lineage": lineage or [],
             "state_files": sorted((state or {}).keys()),
@@ -437,6 +457,13 @@ class SnapshotTable:
             metrics = {**(metrics or {}), **extra}
             lineage = fin_lineage if fin_lineage is not None else lineage
 
+        parent_fs = (
+            self.manifest(prev).get("fileset_schemas", {})
+            if prev is not None else {}
+        )
+        fileset_schemas = {p: parent_fs[p] for p in data_paths if p in parent_fs}
+        if rel in data_paths:
+            fileset_schemas[rel] = updates.schema.simpleString()
         manifest = {
             "snapshot": snap,
             "parent": prev,
@@ -444,6 +471,7 @@ class SnapshotTable:
             "partition_col": partition_col,
             "partitions": partitions,
             "data_paths": data_paths,
+            "fileset_schemas": fileset_schemas,
             "metrics": metrics or {},
             "lineage": lineage or [],
             "state_files": sorted((state or {}).keys()),

@@ -339,3 +339,63 @@ def test_expire_partitioned_table_masked_reads_survive(spark, tmp_path):
     # snap-00000/data still referenced by partition 'b'
     assert out["removed_filesets"] == []
     assert sorted(map(tuple, t.read(spark).collect())) == before
+
+
+def test_schema_evolution_append_adds_column(spark, tmp_path):
+    """Iceberg add-column semantics: a later append carrying a new
+    column reads back as the union of columns, older rows NULL in the
+    added one — and an identical-schema chain keeps the plain
+    (no-mergeSchema) read."""
+    t = SnapshotTable(str(tmp_path / "evo"))
+    t.commit(
+        spark.createDataFrame([(1, "a")], "k long, v string"), mode="append"
+    )
+    m0 = t.manifest()
+    assert len(set(m0["fileset_schemas"].values())) == 1
+    t.commit(
+        spark.createDataFrame(
+            [(2, "b", 7.5)], "k long, v string, score double"
+        ),
+        mode="append",
+    )
+    m1 = t.manifest()
+    assert len(set(m1["fileset_schemas"].values())) == 2
+    got = {r["k"]: (r["v"], r["score"]) for r in t.read(spark).collect()}
+    assert got == {1: ("a", None), 2: ("b", 7.5)}
+    # time travel to the pre-evolution snapshot: old schema only
+    assert t.read(spark, 0).columns == ["k", "v"]
+
+
+def test_schema_evolution_partitioned_masked_read(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "evo2"))
+    t.commit_partition_overwrite(
+        spark.createDataFrame([(1, "p1", "x"), (2, "p2", "y")],
+                              "k long, p string, v string"),
+        "p",
+    )
+    t.commit_partition_overwrite(
+        spark.createDataFrame([(3, "p1", "z", 9)],
+                              "k long, p string, v string, extra long"),
+        "p",
+    )
+    rows = {r["k"]: (r["p"], r["v"], r["extra"])
+            for r in t.read(spark).collect()}
+    # p1 rewritten (new schema), p2 carried (old schema, extra=NULL)
+    assert rows == {3: ("p1", "z", 9), 2: ("p2", "y", None)}
+
+
+def test_schema_evolution_survives_compact_and_expire(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "evo3"))
+    t.commit(spark.createDataFrame([(1, "a")], "k long, v string"),
+             mode="append")
+    t.commit(
+        spark.createDataFrame([(2, "b", 1.5)],
+                              "k long, v string, s double"),
+        mode="append",
+    )
+    t.compact(spark)  # rewrite into ONE merged-schema file set
+    m = t.manifest()
+    assert len(set(m["fileset_schemas"].values())) == 1
+    t.expire_snapshots(keep_last=1)
+    got = {r["k"]: r["s"] for r in t.read(spark).collect()}
+    assert got == {1: None, 2: 1.5}
