@@ -143,10 +143,16 @@ class SnapshotTable:
                 )
             s = m["parent"]
         old = set(self.manifest(from_snap)["data_paths"])
-        new = [p for p in self.manifest(to_snap)["data_paths"] if p not in old]
+        to_m = self.manifest(to_snap)
+        new = [p for p in to_m["data_paths"] if p not in old]
         if not new:
             return self.read(spark, to_snap).limit(0)
-        return spark.read.parquet(*[os.path.join(self.root, p) for p in new])
+        fs = to_m.get("fileset_schemas", {})
+        reader = spark.read
+        if len({fs[p] for p in new if p in fs}) > 1:
+            # the delta spans schema evolution: footer-union like read()
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(*[os.path.join(self.root, p) for p in new])
 
     def compact(
         self,

@@ -399,3 +399,20 @@ def test_schema_evolution_survives_compact_and_expire(spark, tmp_path):
     t.expire_snapshots(keep_last=1)
     got = {r["k"]: r["s"] for r in t.read(spark).collect()}
     assert got == {1: None, 2: 1.5}
+
+
+def test_read_changes_across_schema_evolution(spark, tmp_path):
+    """An incremental delta spanning two appends with evolved schemas
+    returns the column union (old delta rows NULL in the new column)."""
+    t = SnapshotTable(str(tmp_path / "evo4"))
+    t.commit(spark.createDataFrame([(0, "base")], "k long, v string"),
+             mode="append")
+    t.commit(spark.createDataFrame([(1, "a")], "k long, v string"),
+             mode="append")
+    t.commit(
+        spark.createDataFrame([(2, "b", 3)], "k long, v string, n long"),
+        mode="append",
+    )
+    delta = {r["k"]: (r["v"], r["n"])
+             for r in t.read_changes(spark, 0).collect()}
+    assert delta == {1: ("a", None), 2: ("b", 3)}
