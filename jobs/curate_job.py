@@ -36,6 +36,12 @@ def main() -> None:
     ap.add_argument("--input", required=True, help="documents parquet path")
     ap.add_argument("--out", required=True)
     ap.add_argument("--min-quality", type=float, default=0.55)
+    ap.add_argument(
+        "--weighted-rate", type=float, default=None,
+        help="replace the hard --min-quality cliff with probabilistic "
+        "quality curation: keep each doc with P=min(1, rate*q/mean(q)) "
+        "(sampling.weighted_sample — deterministic md5h60 membership)",
+    )
     ap.add_argument("--holdout", type=float, default=0.25)
     ap.add_argument("--chunk-tokens", type=int, default=64)
     ap.add_argument("--overlap", type=int, default=8)
@@ -66,13 +72,16 @@ def main() -> None:
     docs = spark.read.parquet(args.input)
     n_in = docs.count()
 
-    kept = docs.join(
-        TS.quality_score(docs)
-        .filter(F.col("quality_score") >= args.min_quality)
-        .select("doc_id"),
-        "doc_id",
-        "left_semi",
-    )
+    scored = TS.quality_score(docs)
+    if args.weighted_rate is not None:
+        picked = SA.weighted_sample(
+            scored, "quality_score", args.weighted_rate
+        ).select("doc_id")
+    else:
+        picked = scored.filter(
+            F.col("quality_score") >= args.min_quality
+        ).select("doc_id")
+    kept = docs.join(picked, "doc_id", "left_semi")
     deduped = kept.join(
         D.exact_dedup(kept).select("doc_id"), "doc_id", "left_semi"
     )
