@@ -151,16 +151,27 @@ def weighted_sample(
     Weights must be non-negative (probabilities scale linearly in w);
     a negative-weight row gets P<0 and is never kept, and a corpus
     whose MEAN went negative would invert every decision — validate
-    upstream, the operator adds no checking job.
+    upstream, the operator adds no checking job.  An all-zero weight
+    column (mean 0, w/mean undefined) degrades to a UNIFORM sample at
+    ``rate`` — the natural limit, and the guard matters: without it
+    0/0 = NaN and ``least(1.0, NaN)`` is 1.0 in Spark (NaN sorts
+    greatest), which would silently keep EVERY row.
     """
     assert rate >= 0.0
-    from pyspark.sql.types import DoubleType, FloatType
+    from pyspark.sql.types import DoubleType, FloatType, IntegralType
 
     from fide_crawler_spark.operators.dedup import md5h
 
-    fractional = isinstance(
-        docs.schema[weight_col].dataType, (DoubleType, FloatType)
-    )
+    wtype = docs.schema[weight_col].dataType
+    fractional = isinstance(wtype, (DoubleType, FloatType))
+    if not fractional and not isinstance(wtype, IntegralType):
+        # DecimalType etc. would silently floor-truncate through the
+        # integral path (same failure class pack_shards rejects)
+        raise TypeError(
+            f"weighted_sample requires an integral or float/double "
+            f"weight column; {weight_col!r} is {wtype.simpleString()} — "
+            f"cast explicitly"
+        )
     scale = 1_000_000 if fractional else 1
     if fractional:
         w_fixed = F.floor(
@@ -178,10 +189,14 @@ def weighted_sample(
             / F.lit(float(scale))
         ).alias("__mean")
     )
-    p = F.least(
-        F.lit(1.0),
-        (F.lit(rate) * F.col(weight_col).cast("double")) / F.col("__mean"),
-    )
+    p = F.when(
+        F.col("__mean") > 0,
+        F.least(
+            F.lit(1.0),
+            (F.lit(rate) * F.col(weight_col).cast("double"))
+            / F.col("__mean"),
+        ),
+    ).otherwise(F.lit(min(1.0, rate)))  # zero-mean corpus → uniform
     h = md5h(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
     return (
         docs.join(F.broadcast(m))

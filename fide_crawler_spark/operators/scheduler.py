@@ -409,7 +409,7 @@ class CrawlJob:
             )
         if (
             self.compact_docs_every is not None
-            and e >= 0 and e % self.compact_docs_every == 0
+            and e % self.compact_docs_every == 0
             and len(self.docs_tbl.manifest()["data_paths"]) > 1
         ):
             with _phase(prof, "compact_docs"):

@@ -173,7 +173,7 @@ def pack_sequences(
     * ``piece_len``  — tokens in this piece (Σ over a doc = its count)
 
     Scale shape: the only addition over ``pack_shards``'s two-pass
-    exact offsets is a JVM ``posexplode(sequence(...))`` whose fan-out
+    exact offsets is a JVM ``explode(sequence(...))`` whose fan-out
     per doc is ceil(n/seq_len)+1 pieces — no shuffle, no window; a
     10^12-token corpus at seq_len=8192 emits ~1.2×10^8 rows/TB, each a
     few longs.  Token arrays themselves are NOT moved — downstream
@@ -185,9 +185,8 @@ def pack_sequences(
     contract as ``pack_shards``, pinned in tests).  ``token_offset``
     is the same streaming-continuation hook.
     """
-    id_cols = id_cols or [
-        c for c in docs.columns if c != token_col
-    ]
+    if id_cols is None:
+        id_cols = [c for c in docs.columns if c != token_col]
     with_off = pack_shards(
         docs,
         token_col,
@@ -198,28 +197,50 @@ def pack_sequences(
         caches=caches,
         token_offset=token_offset,
         offset_col="__off",
-    )
+    ).drop("__seq0")
+    return sequence_pieces(with_off, token_col, seq_len, "__off", id_cols)
+
+
+def sequence_pieces(
+    docs: DataFrame,
+    token_col: str,
+    seq_len: int,
+    off_col: str,
+    id_cols: list[str] | None = None,
+) -> DataFrame:
+    """The pure chop projection behind :func:`pack_sequences`: given
+    each doc's exact global starting token offset (``off_col``), emit
+    the (seq_id, seq_pos, piece_start, piece_len) piece rows.  Zero
+    shuffle — composes with ANY offset provider, so a pipeline that
+    already ran ``pack_shards(..., offset_col=...)`` for its shard
+    sink derives the sequence manifest for free instead of paying the
+    two-pass sorted layout twice (the offsets describe the same global
+    token axis regardless of the shard budget)."""
+    if id_cols is None:
+        id_cols = [c for c in docs.columns if c not in (token_col, off_col)]
     n = F.col(token_col).cast("long")
+    off = F.col(off_col).cast("long")
     # sequences touched: floor(off/L) .. floor((off+n-1)/L); empty
     # docs (n=0) still emit one zero-length piece in their home seq
-    last = F.floor((F.col("__off") + F.greatest(n - 1, F.lit(0))) / seq_len)
-    pieces = with_off.select(
+    first = F.floor(off / seq_len).cast("long")
+    last = F.floor((off + F.greatest(n - 1, F.lit(0))) / seq_len).cast("long")
+    pieces = docs.select(
         *id_cols,
         n.alias("__n"),
-        F.col("__off"),
-        F.posexplode(F.sequence(F.col("__seq0"), last)).alias("__i", "seq_id"),
+        off.alias("__o"),
+        F.explode(F.sequence(first, last)).alias("seq_id"),
     )
     piece_start = F.greatest(
-        F.col("seq_id") * seq_len - F.col("__off"), F.lit(0)
+        F.col("seq_id") * seq_len - F.col("__o"), F.lit(0)
     )
     piece_end = F.least(
-        (F.col("seq_id") + 1) * seq_len - F.col("__off"), F.col("__n")
+        (F.col("seq_id") + 1) * seq_len - F.col("__o"), F.col("__n")
     )
     return pieces.select(
         *id_cols,
         F.col("seq_id"),
         F.greatest(
-            F.col("__off") - F.col("seq_id") * seq_len, F.lit(0)
+            F.col("__o") - F.col("seq_id") * seq_len, F.lit(0)
         ).alias("seq_pos"),
         piece_start.alias("piece_start"),
         (piece_end - piece_start).alias("piece_len"),

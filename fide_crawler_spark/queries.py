@@ -3425,7 +3425,7 @@ def q82_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     in doc_id order laid on one global token axis and chopped into
     64-token training sequences, boundary docs split into pieces.
     Offsets come from the two-pass exact layout (no global window);
-    the piece explode is a JVM posexplode(sequence(...)).  The oracle
+    the piece explode is a JVM explode(sequence(...)).  The oracle
     replays the same arithmetic over a window cumsum — pure BIGINT,
     zero rounding."""
     docs = load(spark, sf_dir, "documents").select(

@@ -34,6 +34,25 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _needs_schema_merge(manifest: dict, paths: list[str]) -> bool:
+    """True when a scan spanning ``paths`` must union parquet footers.
+
+    Plain single-footer reads are only safe when EVERY file set has a
+    recorded schema fingerprint and they are all identical.  A file set
+    with no fingerprint (manifest written before schema tracking
+    existed) is an UNKNOWN schema — treat it as potentially different,
+    otherwise the exact silent-column-drop this mechanism exists to
+    prevent comes back on legacy tables.  Single-set scans never merge
+    (there is only one footer)."""
+    if len(paths) <= 1:
+        return False
+    fs = manifest.get("fileset_schemas", {})
+    known = [fs[p] for p in paths if p in fs]
+    if len(known) < len(paths):
+        return True  # at least one unknown-schema legacy file set
+    return len(set(known)) > 1
+
+
 class SnapshotTable:
     def __init__(self, root: str):
         self.root = root
@@ -83,10 +102,9 @@ class SnapshotTable:
         from pyspark.sql import functions as F
 
         m = self.manifest(snap)
-        fs = m.get("fileset_schemas", {})
-        ddls = {fs[p] for p in m["data_paths"] if p in fs}
+        merge = _needs_schema_merge(m, m["data_paths"])
         reader = spark.read
-        if len(ddls) > 1:
+        if merge:
             reader = reader.option("mergeSchema", "true")
         pcol = m.get("partition_col")
         if not pcol:
@@ -106,7 +124,7 @@ class SnapshotTable:
             scans.append(scan.filter(F.col(pcol).cast("string").isin(values)))
         out = scans[0]
         for s in scans[1:]:
-            out = out.unionByName(s, allowMissingColumns=len(ddls) > 1)
+            out = out.unionByName(s, allowMissingColumns=merge)
         return out
 
     def read_changes(
@@ -147,9 +165,8 @@ class SnapshotTable:
         new = [p for p in to_m["data_paths"] if p not in old]
         if not new:
             return self.read(spark, to_snap).limit(0)
-        fs = to_m.get("fileset_schemas", {})
         reader = spark.read
-        if len({fs[p] for p in new if p in fs}) > 1:
+        if _needs_schema_merge(to_m, new):
             # the delta spans schema evolution: footer-union like read()
             reader = reader.option("mergeSchema", "true")
         return reader.parquet(*[os.path.join(self.root, p) for p in new])

@@ -32,6 +32,7 @@ State layout under ``state_dir`` (commit protocol: streaming/state.py):
   corpus/     surviving (doc_id, text) after strip+dedup
   bands/      the (doc, band_id, band_hash) LSH index
   shards/     packed chunk rows with final shard_id
+  sequences/  (seq_len mode) training-sequence piece manifest rows
   _commits/   atomic per-batch markers (survivors, tokens)
 """
 
@@ -52,7 +53,7 @@ from fide_crawler_spark.operators.dedup import (
     incremental_dedup,
     minhash_dedup,
 )
-from fide_crawler_spark.operators.shards import pack_sequences, pack_shards
+from fide_crawler_spark.operators.shards import pack_shards, sequence_pieces
 from fide_crawler_spark.streaming import state as ST
 
 
@@ -179,6 +180,10 @@ def make_curation_processor(
             [F.col("doc_id").asc(), F.col("chunk_id").asc()],
             caches=caches,
             token_offset=token_offset,
+            # seq_len mode reuses THIS layout's exact offsets for the
+            # sequence manifest (same global token axis regardless of
+            # the shard budget) — no second two-pass sort
+            offset_col="__off" if seq_len is not None else None,
         ).localCheckpoint()  # written AND aggregated for the marker
         batch_tokens = packed.agg(F.sum("n_tokens")).first()[0] or 0
         n = survivors.count()
@@ -193,27 +198,28 @@ def make_curation_processor(
         banded_signatures(survivors, k=k, bands=bands).write.mode(
             "overwrite"
         ).parquet(os.path.join(bands_path, part))
-        packed.write.mode("overwrite").parquet(
+        packed.drop("__off").write.mode("overwrite").parquet(
             os.path.join(shards_path, part)
         )
         if seq_len is not None:
             # concat-and-chop training sequences on the SAME global
             # token axis (token_offset continuation is associative —
-            # pinned in tests/test_scale_paths.py) — committed with
-            # the batch, before the marker, like every other sink
-            pack_sequences(
-                chunks.select("doc_id", "chunk_id", "n_tokens"),
+            # pinned in tests/test_scale_paths.py): a pure projection
+            # over the offsets pack_shards already computed — committed
+            # with the batch, before the marker, like every other sink
+            sequence_pieces(
+                packed.select("doc_id", "chunk_id", "n_tokens", "__off"),
                 "n_tokens",
                 seq_len,
-                [F.col("doc_id").asc(), F.col("chunk_id").asc()],
-                caches=caches,
-                token_offset=token_offset,
+                "__off",
+                id_cols=["doc_id", "chunk_id"],
             ).write.mode("overwrite").parquet(
                 os.path.join(sequences_path, part)
             )
         for c in caches:
             c.unpersist()
-        # publish: atomic rename AFTER all four writes succeeded
+        # publish: atomic rename AFTER every sink write succeeded
+        # (four dirs; five with the seq_len sequence manifest)
         ST.publish_marker(
             commits_dir, batch_id,
             {"survivors": n, "tokens": int(batch_tokens)},

@@ -97,21 +97,25 @@ def main() -> None:
         "n_tokens",
         args.shard_tokens,
         [F.col("doc_id").asc(), F.col("chunk_id").asc()],
+        # --seq-len reuses this layout's exact offsets (same global
+        # token axis) — no second two-pass sort over the chunks
+        offset_col="__off" if args.seq_len is not None else None,
     )
-    packed.write.mode("overwrite").partitionBy("shard_id").parquet(
-        f"{args.out}/shards"
-    )
+    packed.drop("__off").write.mode("overwrite").partitionBy(
+        "shard_id"
+    ).parquet(f"{args.out}/shards")
 
     vocab = TK.build_vocab(train, vocab_size=args.vocab_size)
     vocab.write.mode("overwrite").parquet(f"{args.out}/vocab")
 
     seq_stats = {}
     if args.seq_len is not None:
-        seqs = SH.pack_sequences(
-            chunks.select("doc_id", "chunk_id", "n_tokens"),
+        seqs = SH.sequence_pieces(
+            packed.select("doc_id", "chunk_id", "n_tokens", "__off"),
             "n_tokens",
             args.seq_len,
-            [F.col("doc_id").asc(), F.col("chunk_id").asc()],
+            "__off",
+            id_cols=["doc_id", "chunk_id"],
         )
         seqs.write.mode("overwrite").parquet(f"{args.out}/sequences")
         w = spark.read.parquet(f"{args.out}/sequences")

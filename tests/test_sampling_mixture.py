@@ -5,6 +5,8 @@ from __future__ import annotations
 import hashlib
 import math
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from fide_crawler_spark.operators import sampling as SA
@@ -180,3 +182,30 @@ def test_weighted_sample_double_weights_fixed_point_mean(spark):
         ).collect()
     }
     assert a == b
+
+
+def test_weighted_sample_zero_mean_degrades_to_uniform(spark):
+    """All-zero weights: 0/0 is NaN and least(1.0, NaN)=1.0 in Spark
+    (NaN sorts greatest) — without the guard every row would be kept.
+    The guarded operator degrades to a uniform sample at `rate`."""
+    docs = spark.createDataFrame(
+        [(i, 0) for i in range(400)], "doc_id long, n_chars int"
+    )
+    out = SA.weighted_sample(docs, "n_chars", 0.25).collect()
+    want = {
+        i for i in range(400)
+        if _md5h60(str(i)) < math.floor(0.25 * TWO60)
+    }
+    assert {r["doc_id"] for r in out} == want
+    assert 0 < len(want) < 400
+    assert all(r["keep_rate"] == 0.25 for r in out)
+
+
+def test_weighted_sample_rejects_decimal_weights(spark):
+    from decimal import Decimal
+
+    docs = spark.createDataFrame(
+        [(1, Decimal("0.5000"))], "doc_id long, score decimal(10,4)"
+    )
+    with pytest.raises(TypeError, match="integral or float/double"):
+        SA.weighted_sample(docs, "score", 0.5)

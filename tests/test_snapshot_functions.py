@@ -416,3 +416,30 @@ def test_read_changes_across_schema_evolution(spark, tmp_path):
     delta = {r["k"]: (r["v"], r["n"])
              for r in t.read_changes(spark, 0).collect()}
     assert delta == {1: ("a", None), 2: ("b", 3)}
+
+
+def test_legacy_manifests_force_schema_merge(spark, tmp_path):
+    """A table whose manifests predate schema tracking (no
+    fileset_schemas key) must NOT take the single-footer fast path on
+    multi-set reads — an evolved append would silently drop the new
+    column otherwise."""
+    import json
+    import os
+
+    t = SnapshotTable(str(tmp_path / "legacy"))
+    t.commit(spark.createDataFrame([(1, "a")], "k long, v string"),
+             mode="append")
+    t.commit(
+        spark.createDataFrame([(2, "b", 9)], "k long, v string, n long"),
+        mode="append",
+    )
+    # simulate pre-upgrade manifests: strip the fingerprints
+    for snap in t.snapshots():
+        p = os.path.join(t._dir(snap), "manifest.json")
+        with open(p) as f:
+            m = json.load(f)
+        m.pop("fileset_schemas", None)
+        with open(p, "w") as f:
+            json.dump(m, f)
+    got = {r["k"]: r["n"] for r in t.read(spark).collect()}
+    assert got == {1: None, 2: 9}  # column union, not a random footer
