@@ -84,11 +84,107 @@ def hashed_shingles_col(text_col: str = "text", n: int = 3):
     sf0.1 ngram-jaccard kernel end-to-end).  Set sizes match the
     string path modulo 2^-64-scale hash collisions — the same
     tolerance ``ngram_jaccard_pairs`` already accepts by joining on
-    hashed shingles."""
+    hashed shingles.
+
+    Prefer :func:`hashed_shingle_docs` in operator code: higher-order
+    lambdas are interpreted (CodegenFallback), so the ``split`` baked
+    into this Column re-runs for EVERY sequence element; the DataFrame
+    helper hoists it into its own projection (measured 4.6× on the
+    sf0.1 shingle kernel)."""
     toks = F.split(F.col(text_col), " ")
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     gram = lambda i: F.xxhash64(F.array_join(F.slice(toks, i + 1, n), " "))  # noqa: E731
     return F.array_distinct(F.transform(idx, gram))
+
+
+def shingle_docs(
+    docs: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "sh",
+) -> DataFrame:
+    """(doc, <out_col>): deduped STRING word-n-gram shingle array per
+    doc with the token split hoisted (same rationale as
+    :func:`hashed_shingle_docs` — the lambda must slice a materialized
+    array, not re-split the text per shingle)."""
+    base = docs.select(
+        F.col(id_col).alias("doc"), F.split(F.col(text_col), " ").alias("__tk")
+    )
+    tk = F.col("__tk")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(tk) - n, F.lit(0)))
+    gram = lambda i: F.array_join(F.slice(tk, i + 1, n), " ")  # noqa: E731
+    return base.select(
+        "doc", F.array_distinct(F.transform(idx, gram)).alias(out_col)
+    )
+
+
+def hashed_shingle_docs(
+    docs: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    portable: bool = False,
+) -> DataFrame:
+    """(doc, sh): deduped hashed word-n-gram shingle array per doc,
+    with the token split HOISTED into its own projection.  Higher-order
+    function lambdas are CodegenFallback (interpreted, no common-
+    subexpression elimination), so a ``split(text)`` referenced inside
+    the transform re-splits the document once PER SHINGLE; projecting
+    the token array first makes the lambda a pure slice+hash over the
+    materialized array (4.6× on the sf0.1 kernel: 1.57 → 0.34 s).
+    CollapseProject keeps the projection because the array is
+    referenced more than once (sequence bound + slice)."""
+    base = docs.select(
+        F.col(id_col).alias("doc"), F.split(F.col(text_col), " ").alias("__tk")
+    )
+    tk = F.col("__tk")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(tk) - n, F.lit(0)))
+    gram = lambda i: F.array_join(F.slice(tk, i + 1, n), " ")  # noqa: E731
+    hashed = lambda i: _feature_hash(gram(i), portable)  # noqa: E731
+    return base.select(
+        "doc", F.array_distinct(F.transform(idx, hashed)).alias("sh")
+    )
+
+
+def _bucket_pairs(flat: DataFrame, key_cols: list[str], payload: list[str]):
+    """Within-bucket ordered pairs via ONE grouped aggregate instead of
+    a self-join: group ``flat`` by ``key_cols``, collect the (doc,
+    *payload) structs sorted ascending, and explode every i<j pair.
+
+    vs. the self-join form (``a.join(b, key).filter(doc_a < doc_b)``):
+    the expensive upstream subtree is computed ONCE instead of twice
+    (Spark re-executes a self-joined subtree per side), and the two
+    join-side Exchanges collapse into one groupBy Exchange.  Hot-key
+    fan-out is unchanged — a bucket of f docs yields f(f-1)/2 pairs in
+    one task either way, since a shuffled join puts every row of one
+    key in one partition too — but the bucket ARRAY is materialized in
+    memory, so callers must bound bucket size (``max_doc_freq`` valve /
+    exact-dedup before near-dup, as the pipeline already does).
+
+    Returns (doc_a, doc_b, a_<payload...>, b_<payload...>) rows."""
+    entry = F.struct(F.col("doc"), *[F.col(c) for c in payload])
+    buckets = (
+        flat.groupBy(*key_cols)
+        .agg(F.sort_array(F.collect_list(entry)).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+    ds = F.col("ds")
+    pair_arr = F.flatten(
+        F.transform(
+            ds,
+            lambda x, i: F.transform(
+                F.slice(ds, i + 2, F.size(ds)),
+                lambda y: F.struct(
+                    x["doc"].alias("doc_a"),
+                    y["doc"].alias("doc_b"),
+                    *[x[c].alias(f"a_{c}") for c in payload],
+                    *[y[c].alias(f"b_{c}") for c in payload],
+                ),
+            ),
+        )
+    )
+    return buckets.select(F.explode(pair_arr).alias("p")).select("p.*")
 
 
 def ngram_jaccard_pairs(
@@ -117,49 +213,71 @@ def ngram_jaccard_pairs(
     corpus has almost no singletons (207 of 27k shingles), so the
     extra aggregate+semi-join outweighs the discarded join rows.
     Worth revisiting only on corpora with heavy singleton tails.)"""
-    # hash the shingles inside the gram transform (hashed_shingles_col)
-    # so distinct/explode/join all run over 8-byte longs, never the
-    # ~n·8 byte strings (measured ~15% for join-on-hash alone, ~10%
-    # more moving the hash inside the array; collisions are
-    # 2^-64-scale — standard shingle-hashing practice)
-    sh = docs.select(
-        F.col(id_col).alias("doc"), hashed_shingles_col(n=n).alias("sh")
-    ).withColumn("n_sh", F.size("sh"))
+    # hash the shingles inside the gram transform with the split
+    # HOISTED (hashed_shingle_docs) so distinct/explode/grouping all
+    # run over 8-byte longs and the text is split once per doc, not
+    # once per shingle; candidate pairs come from ONE grouped
+    # aggregate over the inverted index (_bucket_pairs) instead of a
+    # self-join, so the shingle pipeline runs once instead of twice
+    # (r6 A/B at sf0.1: q24 kernel 8.65 → 3.6 s, identical pairs)
+    sh = hashed_shingle_docs(docs, n=n, id_col=id_col).withColumn(
+        "n_sh", F.size("sh")
+    )
     flat = sh.select("doc", "n_sh", F.explode("sh").alias("shingle"))
     if max_doc_freq is not None:
-        keep = (
+        # valve path: buckets over the doc-frequency-bounded shingle
+        # space; set sizes recomputed over the SAME pruned space
+        # (including df=1 singleton shingles, which form no pairs but
+        # stay in the Jaccard denominator) so intersections and
+        # denominators agree
+        buckets = (
             flat.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") <= max_doc_freq)
-            .select("shingle")
+            .agg(F.sort_array(F.collect_list("doc")).alias("ds"))
+            .filter(F.size("ds") <= max_doc_freq)
         )
-        pruned = flat.drop("n_sh").join(keep, "shingle", "left_semi")
-        # set sizes recomputed over the pruned space so the Jaccard
-        # denominator stays consistent with the intersections
-        sizes = pruned.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
-        flat = pruned.join(sizes, "doc")
-    a = flat.select(
-        F.col("doc").alias("doc_a"), F.col("n_sh").alias("na"), "shingle"
-    )
-    b = flat.select(
-        F.col("doc").alias("doc_b"), F.col("n_sh").alias("nb"), "shingle"
-    )
-    pairs = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b", "na", "nb")
-        .agg(F.count(F.lit(1)).alias("inter"))
-        .select(
-            "doc_a",
-            "doc_b",
-            (
-                F.floor(
-                    F.col("inter").cast("double")
-                    / (F.col("na") + F.col("nb") - F.col("inter"))
-                    * 10000 + F.lit(0.5)
-                ) / 10000
-            ).alias("jaccard"),
+        sizes = (
+            buckets.select(F.explode("ds").alias("doc"))
+            .groupBy("doc")
+            .agg(F.count(F.lit(1)).alias("n_sh"))
         )
+        ds = F.col("ds")
+        pair_arr = F.flatten(
+            F.transform(
+                ds,
+                lambda x, i: F.transform(
+                    F.slice(ds, i + 2, F.size(ds)),
+                    lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+                ),
+            )
+        )
+        raw = (
+            buckets.filter(F.size("ds") > 1)
+            .select(F.explode(pair_arr).alias("p"))
+            .select("p.*")
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("inter"))
+            .join(sizes.select(F.col("doc").alias("doc_a"),
+                               F.col("n_sh").alias("na")), "doc_a")
+            .join(sizes.select(F.col("doc").alias("doc_b"),
+                               F.col("n_sh").alias("nb")), "doc_b")
+        )
+    else:
+        raw = (
+            _bucket_pairs(flat, ["shingle"], ["n_sh"])
+            .groupBy("doc_a", "doc_b", F.col("a_n_sh").alias("na"),
+                     F.col("b_n_sh").alias("nb"))
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+    pairs = raw.select(
+        "doc_a",
+        "doc_b",
+        (
+            F.floor(
+                F.col("inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("inter"))
+                * 10000 + F.lit(0.5)
+            ) / 10000
+        ).alias("jaccard"),
     )
     if threshold > 0:
         pairs = pairs.filter(F.col("jaccard") >= threshold)
@@ -178,25 +296,29 @@ def minhash_signatures(
     docs: DataFrame, k: int = 16, n: int = 3, id_col: str = "doc_id",
     portable: bool = False,
 ) -> DataFrame:
-    """k-permutation MinHash signature per doc, computed as k grouped
-    MIN aggregates over hash(shingle) — one shuffle, zero UDFs.
-    Permutation i: (a_i * h + b_i) mod M31 (universal hashing).
+    """k-permutation MinHash signature per doc, computed as k
+    ``array_min`` projections over the doc's hashed-shingle array —
+    ZERO shuffle, zero UDFs (the r5 form exploded shingles and ran k
+    grouped MINs: one full Exchange of every (doc, hash) row that a
+    per-doc array fold makes unnecessary — the min of a permutation
+    over a doc's shingle set is a row-local quantity).
+    Permutation i: (a_i * h + b_i) mod M31 (universal hashing);
+    a*h + b < 2^62 so the fold never overflows int64.
     ``portable=True`` keys on md5h (DuckDB-reproducible) instead of
-    xxhash64 — same algorithm, oracle-checkable signatures."""
-    flat = docs.select(
-        F.col(id_col).alias("doc"),
-        F.explode(shingles_col(n=n)).alias("shingle"),
-    ).select(
-        "doc",
-        F.pmod(_feature_hash(F.col("shingle"), portable), F.lit(MERSENNE)).alias("h"),
-    )
-    aggs = [
-        F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(MERSENNE))).alias(
-            f"mh_{i}"
-        )
+    xxhash64 — same algorithm, oracle-checkable signatures.  Docs with
+    NULL text are dropped, matching the explode form's semantics."""
+    sh = hashed_shingle_docs(docs, n=n, id_col=id_col, portable=portable)
+    hs = F.transform(F.col("sh"), lambda h: F.pmod(h, F.lit(MERSENNE)))
+    base = sh.filter(F.col("sh").isNotNull()).select("doc", hs.alias("__hs"))
+
+    def _perm(a: int, b: int):
+        return lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(MERSENNE))
+
+    mins = [
+        F.array_min(F.transform(F.col("__hs"), _perm(a, b))).alias(f"mh_{i}")
         for i, (a, b) in enumerate(_minhash_params(k))
     ]
-    return flat.groupBy("doc").agg(*aggs)
+    return base.select("doc", *mins)
 
 
 def banded_signatures(
@@ -245,11 +367,11 @@ def minhash_lsh_candidates(
     banded = banded_signatures(
         docs, k=k, bands=bands, n=n, id_col=id_col, portable=portable
     )
-    a = banded.select(F.col("doc").alias("doc_a"), "band_id", "band_hash")
-    b = banded.select(F.col("doc").alias("doc_b"), "band_id", "band_hash")
+    # one grouped aggregate instead of a self-join: the signature
+    # pipeline (now itself shuffle-free) runs once, and the two
+    # join-side Exchanges collapse into one bucket groupBy
     return (
-        a.join(b, ["band_id", "band_hash"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        _bucket_pairs(banded, ["band_id", "band_hash"], [])
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_bands_shared"))
     )
@@ -269,7 +391,7 @@ def minhash_dedup(
     cands = minhash_lsh_candidates(
         docs, k=k, bands=bands, n=n, id_col=id_col, portable=portable
     )
-    sh = docs.select(F.col(id_col).alias("doc"), shingles_col(n=n).alias("sh"))
+    sh = shingle_docs(docs, n=n, id_col=id_col)
     verified = (
         cands.join(sh.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
         .join(sh.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
@@ -334,13 +456,14 @@ def incremental_dedup(
         .select("doc_new", "doc_old")
         .distinct()
     )
-    sh_new = new_docs.select(
-        F.col(id_col).alias("doc_new"), shingles_col(n=n).alias("sh_n")
+    sh_new = shingle_docs(new_docs, n=n, id_col=id_col, out_col="sh_n").select(
+        F.col("doc").alias("doc_new"), "sh_n"
     )
     matched_old = cross.select(F.col("doc_old").alias(id_col)).distinct()
-    sh_old = corpus.join(matched_old, id_col, "left_semi").select(
-        F.col(id_col).alias("doc_old"), shingles_col(n=n).alias("sh_o")
-    )
+    sh_old = shingle_docs(
+        corpus.join(matched_old, id_col, "left_semi"), n=n, id_col=id_col,
+        out_col="sh_o",
+    ).select(F.col("doc").alias("doc_old"), "sh_o")
     dominated = (
         cross.join(sh_new, "doc_new")
         .join(sh_old, "doc_old")
