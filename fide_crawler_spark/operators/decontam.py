@@ -21,7 +21,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from fide_crawler_spark.operators.dedup import shingles_col
+from fide_crawler_spark.operators.dedup import (
+    hashed_shingle_docs,
+    shingle_docs,
+)
 
 
 def contamination_flags(
@@ -43,12 +46,22 @@ def contamination_flags(
     carries 8-byte keys instead of ~8n-byte strings (collision odds
     2^-64-scale); set False for the oracle-exact string-keyed form.
     """
-    gram = F.explode(shingles_col(text_col, n=n)).alias("gram")
-    doc_grams = docs.select(F.col(id_col).alias("__doc"), gram)
-    bench_grams = benchmark.select(gram).distinct()
-    if hash_grams:
-        doc_grams = doc_grams.withColumn("gram", F.xxhash64("gram"))
-        bench_grams = bench_grams.select(F.xxhash64("gram").alias("gram")).distinct()
+    # shingles via the split-hoisted helpers (dedup.shingle_docs): the
+    # token split runs once per doc, not once per gram, and the hashed
+    # form hashes INSIDE the gram transform so distinct/explode/join
+    # never touch gram strings
+    mk = hashed_shingle_docs if hash_grams else shingle_docs
+    doc_grams = mk(docs, n=n, id_col=id_col, text_col=text_col).select(
+        F.col("doc").alias("__doc"), F.explode("sh").alias("gram")
+    )
+    bench_grams = (
+        mk(
+            benchmark.select(F.lit(0).alias("__bid"), F.col(text_col)),
+            n=n, id_col="__bid", text_col=text_col,
+        )
+        .select(F.explode("sh").alias("gram"))
+        .distinct()
+    )
     if broadcast_benchmark:
         bench_grams = F.broadcast(bench_grams)
     hits = (
