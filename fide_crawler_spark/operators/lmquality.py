@@ -100,15 +100,66 @@ def lm_perplexity(
             ),
         ).otherwise(F.array().cast("array<struct<prev:string,cur:string>>"))
 
+    # -- train counts: ONE pass.  Every position i emits
+    # (prev=m[i], cur=m[i+1] | NULL-if-last), so grouping by
+    # (prev, cur) yields the bigram counts (cur NOT NULL) AND the
+    # mapped unigram counts (row-sum over cur per prev — each token is
+    # `prev` exactly once) from a single scan + one partial-agg
+    # shuffle.  The result is bounded by construction
+    # (≤ (V+1)² + V+1 rows), so collecting it is the same bounded
+    # fan-in as the vocab collect above; the r5 form ran two separate
+    # scans+aggregates (cu, cb) and broadcast both.
     m_tr = train.select(_mapped_tokens(train, text_col, vocab).alias("m"))
-    cu = (
-        m_tr.select(F.explode("m").alias("m"))
-        .groupBy("m").agg(F.count("*").alias("cu"))
+    m = F.col("m")
+    pos_pairs = F.transform(
+        F.sequence(F.lit(1), F.size(m)),
+        lambda i: F.struct(
+            F.element_at(m, i).alias("prev"),
+            F.when(i < F.size(m), F.element_at(m, i + 1)).alias("cur"),
+        ),
     )
-    big_tr = m_tr.select(F.explode(_bigrams(F.col("m"))).alias("b")).select(
-        "b.prev", "b.cur"
+    pair_rows = (
+        m_tr.select(F.explode(pos_pairs).alias("p"))
+        .groupBy("p.prev", "p.cur")
+        .agg(F.count("*").alias("c"))
+        .collect()
     )
-    cb = big_tr.groupBy("prev", "cur").agg(F.count("*").alias("cb"))
+    cb_map: dict[tuple[str, str], int] = {}
+    cu_map: dict[str, int] = {}
+    for r in pair_rows:
+        cu_map[r["prev"]] = cu_map.get(r["prev"], 0) + r["c"]
+        if r["cur"] is not None:
+            cb_map[(r["prev"], r["cur"])] = r["c"]
+
+    # -- model: the COMPLETE (V+1)² log-prob grid (seen and smoothed-
+    # unseen cells), computed by the same JVM expression as before so
+    # every lp value is bit-identical, broadcast as ONE table.  Every
+    # mapped bigram hits exactly one grid row, so scoring is a single
+    # INNER broadcast join instead of two LEFT joins against separate
+    # cb/cu tables.
+    vset = vocab + ([UNK] if UNK not in vocab else [])
+    grid = [
+        (p, c, cb_map.get((p, c), 0), cu_map.get(p, 0))
+        for p in vset
+        for c in vset
+    ]
+    lp_tbl = spark.createDataFrame(
+        grid, "prev string, cur string, cb long, cu long"
+    ).select(
+        "prev",
+        "cur",
+        F.floor(
+            F.log(
+                (F.col("cb") + F.lit(add_k))
+                / (
+                    F.col("cu").cast("double")
+                    + F.lit(add_k) * F.lit(float(v_prime))
+                )
+            )
+            * F.lit(float(LOG_SCALE))
+            + F.lit(0.5)
+        ).cast("bigint").alias("lp"),
+    )
 
     # -- score: per-doc bigram stream × broadcast model
     doc_big = (
@@ -118,30 +169,10 @@ def lm_perplexity(
         .select(F.col(doc_id_col), F.explode(_bigrams(F.col("m"))).alias("b"))
         .select(doc_id_col, "b.prev", "b.cur")
     )
-
-    # unseen (prev,cur) pairs and unseen prev histories fall back to the
-    # smoothing mass: cb→0, cu→0 via coalesce after LEFT joins
-    scored = (
-        doc_big
-        .join(F.broadcast(cb), ["prev", "cur"], "left")
-        .join(F.broadcast(cu), F.col("prev") == F.col("m"), "left")
-        .select(
-            doc_id_col,
-            F.floor(
-                F.log(
-                    (F.coalesce(F.col("cb"), F.lit(0)) + F.lit(add_k))
-                    / (
-                        F.coalesce(F.col("cu"), F.lit(0)).cast("double")
-                        + F.lit(add_k) * F.lit(float(v_prime))
-                    )
-                )
-                * F.lit(float(LOG_SCALE))
-                + F.lit(0.5)
-            ).cast("bigint").alias("lp"),
-        )
-    )
-    agg = scored.groupBy(doc_id_col).agg(
-        F.count("*").alias("n_bigrams"), F.sum("lp").alias("s")
+    agg = (
+        doc_big.join(F.broadcast(lp_tbl), ["prev", "cur"])
+        .groupBy(doc_id_col)
+        .agg(F.count("*").alias("n_bigrams"), F.sum("lp").alias("s"))
     )
     nll = -(F.col("s").cast("double") / (F.col("n_bigrams").cast("double") * F.lit(float(LOG_SCALE))))
     r4 = lambda c: F.floor(c * 10000 + F.lit(0.5)) / 10000  # noqa: E731
