@@ -108,37 +108,42 @@ def strip_boilerplate(
         .filter(F.col("doc_freq") >= min_doc_freq)
         .select("line_key")
         if boiler_keys is None
+        # CONTRACT: boiler_keys must be UNIQUE per line_key (true for
+        # every producer in-repo — line_doc_freq output and the
+        # streaming groupBy-sum state).  The membership MARK below
+        # multiplies per matching build row where the r5 anti-join
+        # merely dropped, and an unconditional .distinct() here would
+        # sit between the build-side Exchange and the join, breaking
+        # AQE's skew-split pattern match for the heavy-template case
+        # (witness-tested).
         else boiler_keys.select("line_key")
     )
     if broadcast_boiler:
         boiler = F.broadcast(boiler)
+    # ONE pass over the exploded lines: membership is a LEFT join MARK
+    # instead of an anti-join, so before/after line counts and the
+    # reassembled text all come from a single groupBy — the r5 form
+    # scanned `docs` twice more (an anti-join branch plus a separate
+    # n_lines_before base joined back at the end).  Boilerplate lines
+    # still never ride the reassembly shuffle as text: the line is
+    # nulled at the mark, so a stripped row shuffles as (pos, NULL) —
+    # a few bytes — and the per-doc sort-and-filter drops it.
     exploded = docs.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), delimiter)).alias("pos", "line"),
     ).withColumn("line_key", _line_key(F.col("line"), portable))
-    kept = exploded.join(boiler, "line_key", "left_anti")
-    reassembled = kept.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_lines_after"),
+    marked = exploded.join(
+        boiler.withColumn("__boiler", F.lit(True)), "line_key", "left"
+    )
+    keep_line = F.when(F.col("__boiler").isNull(), F.col("line"))
+    kept_sorted = F.filter(
+        F.array_sort(F.collect_list(F.struct("pos", keep_line.alias("line")))),
+        lambda s: s["line"].isNotNull(),
+    )
+    return marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("int").alias("n_lines_before"),
+        F.count(keep_line).cast("int").alias("n_lines_after"),
         F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "line"))),
-                lambda s: s["line"],
-            ),
-            delimiter,
+            F.transform(kept_sorted, lambda s: s["line"]), delimiter
         ).alias("cleaned_text"),
-    )
-    base = docs.select(
-        id_col,
-        F.size(F.split(F.col(text_col), delimiter)).alias("n_lines_before"),
-    )
-    return (
-        base.join(reassembled, id_col, "left")
-        .select(
-            id_col,
-            F.col("n_lines_before").cast("int").alias("n_lines_before"),
-            F.coalesce("n_lines_after", F.lit(0))
-            .cast("int")
-            .alias("n_lines_after"),
-            F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
-        )
     )

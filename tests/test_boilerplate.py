@@ -129,17 +129,18 @@ def _skewed_docs(spark, n=20000):
 def test_heavy_template_broadcast_anti_join(spark):
     """broadcast_boiler=True: the boilerplate key set broadcasts, so
     exploded lines are never shuffled by line_key at all — each scan
-    task anti-filters its own rows (balanced by construction, no task
-    sees more than its input split)."""
+    task marks its own rows (balanced by construction, no task sees
+    more than its input split).  r6: membership is a broadcast LEFT
+    OUTER mark (one groupBy computes before/after counts and the
+    reassembly together) instead of the r5 LEFT ANTI + separate count
+    branch — the lines-never-shuffled-by-key property is unchanged."""
     from fide_crawler_spark.plans import formatted_plan
 
     banner, docs = _skewed_docs(spark, n=2000)
     out = strip_boilerplate(docs, broadcast_boiler=True)
     plan = formatted_plan(out)
-    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
-    assert not ("SortMergeJoin" in plan and "LeftAnti" in plan.split(
-        "SortMergeJoin"
-    )[-1])
+    assert "BroadcastHashJoin" in plan and "LeftOuter" in plan
+    assert "SortMergeJoin" not in plan
     rows = out.collect()
     assert all(r["n_lines_after"] == 1 for r in rows)
     assert all(banner.strip() not in r["cleaned_text"] for r in rows)
