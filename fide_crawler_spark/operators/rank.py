@@ -31,6 +31,35 @@ from pyspark.sql import functions as F
 
 _PID = "__pid"
 _GKEY = "__gkey"
+_MID = "__mid"
+
+
+def adaptive_range_partitions(
+    df: DataFrame, default_conf: str = "spark.sql.shuffle.partitions"
+) -> int:
+    """Size-adaptive partition count for an explicit repartitionByRange
+    (which AQE cannot coalesce): ceil(estimated bytes / target), capped
+    at the session's shuffle-partition setting.  At cluster scale the
+    cap keeps today's behavior (the estimate exceeds partitions ×
+    target); on small inputs it stops a 5k-row frame from fanning into
+    32 near-empty sorted partitions, each paying task launch + (for the
+    two-pass operators) a stats row and a python-worker or join probe.
+    Target bytes parameterized via ``spark.graft.range.targetPartitionBytes``
+    (default 64 MB — AQE's own advisory sizing ballpark, guide §2.2)."""
+    spark = df.sparkSession
+    cap = int(spark.conf.get(default_conf))
+    try:
+        target = int(
+            spark.conf.get(
+                "spark.graft.range.targetPartitionBytes", str(64 << 20)
+            )
+        )
+        nbytes = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:  # estimation unavailable — keep today's behavior
+        return cap
+    return max(1, min(cap, -(-nbytes // max(1, target))))
 
 
 def grouped_rank(
@@ -49,7 +78,7 @@ def grouped_rank(
     has been consumed — otherwise it lives until session end.
     """
     spark = df.sparkSession
-    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    p = num_partitions or adaptive_range_partitions(df)
     sort_exprs = [F.col(g).asc() for g in group_cols] + list(order_cols)
     gkey = (
         F.concat_ws("\x1f", *[F.col(g).cast("string") for g in group_cols])
@@ -59,67 +88,69 @@ def grouped_rank(
     # persist() pins one physical layout: the two passes are separate
     # jobs, and without it AQE may re-plan (coalesce) the range shuffle
     # differently per job, shifting partition ids between pass 1 and 2.
+    #
+    # _MID (monotonically_increasing_id) is the row's position marker:
+    # within a partition the ids are consecutive in row order (the
+    # expression is a per-partition counter plus pid<<33 — consecutive-
+    # within-partition is implementation behavior, pinned against the
+    # row_number window form in tests/test_rank.py), and the rows are
+    # already in (group, order) order from the sort, so
+    # rank = group_prefix_offset + (_MID − min(_MID of the group's
+    # slice in this partition)) + 1 — a pure JVM projection.  The r5
+    # form ran both passes through mapInPandas (a full Python
+    # round-trip of every row, twice); now neither pass leaves the JVM.
     sorted_df = (
         df.repartitionByRange(p, *sort_exprs)
         .sortWithinPartitions(*sort_exprs)
         .withColumn(_PID, F.spark_partition_id())
         .withColumn(_GKEY, gkey)
+        .withColumn(_MID, F.monotonically_increasing_id())
         .persist()
     )
 
-    # pass 1: per-(partition, group) counts — small, collected
-    def count_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        counts: dict[tuple[int, str], int] = {}
-        for pdf in batches:
-            for (pid, gk), n in pdf.groupby([_PID, _GKEY], sort=False).size().items():
-                counts[(pid, gk)] = counts.get((pid, gk), 0) + int(n)
-        if counts:
-            yield pd.DataFrame(
-                [(pid, gk, n) for (pid, gk), n in counts.items()],
-                columns=["pid", "gkey", "n"],
-            )
-
+    # pass 1: per-(partition, group) counts + first row id — a plain
+    # partial-combined aggregate (tiny: ≤ groups-spanning-boundaries +
+    # partitions rows), collected like before
     stats = (
-        sorted_df.select(_PID, _GKEY)
-        .mapInPandas(count_partition, schema="pid int, gkey string, n long")
+        sorted_df.groupBy(_PID, _GKEY)
+        .agg(F.count(F.lit(1)).alias("n"), F.min(_MID).alias("m0"))
         .collect()
     )
     # prefix offsets per group in partition order (range partitions are
     # emitted in ascending key order)
     running: dict[str, int] = {}
-    offsets: dict[tuple[int, str], int] = {}
-    for r in sorted(stats, key=lambda r: r["pid"]):
-        offsets[(r["pid"], r["gkey"])] = running.get(r["gkey"], 0)
-        running[r["gkey"]] = running.get(r["gkey"], 0) + r["n"]
-    off_bc = spark.sparkContext.broadcast(offsets)
+    off_rows = []
+    for r in sorted(stats, key=lambda r: r[_PID]):
+        off_rows.append(
+            (r[_PID], r[_GKEY], running.get(r[_GKEY], 0), r["m0"])
+        )
+        running[r[_GKEY]] = running.get(r[_GKEY], 0) + r["n"]
 
-    out_schema = sorted_df.drop(_PID, _GKEY).schema.add(rank_col, "long")
-    ddl = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in out_schema)
-
-    # pass 2: attach rank = offset + local position (order within the
-    # partition is the sort order; batches arrive in order)
-    def attach(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        local: dict[str, int] = {}
-        off = off_bc.value
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            pid = int(pdf[_PID].iloc[0])
-            ranks = []
-            for gk in pdf[_GKEY]:
-                pos = local.get(gk, 0)
-                local[gk] = pos + 1
-                ranks.append(off[(pid, gk)] + pos + 1)
-            out = pdf.drop(columns=[_PID, _GKEY]).copy()
-            out[rank_col] = ranks
-            yield out
+    # pass 2: rank = offset + (mid − first mid of the (pid, group)
+    # slice) + 1, attached via one broadcast join — same bounded
+    # fan-in as the collected stats
+    if off_rows:
+        off_df = spark.createDataFrame(
+            off_rows, f"{_PID} int, {_GKEY} string, __off long, __m0 long"
+        )
+        ranked = sorted_df.join(
+            F.broadcast(off_df), [_PID, _GKEY]
+        ).withColumn(
+            rank_col,
+            F.col("__off") + (F.col(_MID) - F.col("__m0")) + F.lit(1),
+        )
+    else:  # empty input: keep schema
+        ranked = sorted_df.withColumn(rank_col, F.lit(None).cast("long"))
+    out = ranked.select(
+        *[c for c in df.columns], F.col(rank_col).cast("long").alias(rank_col)
+    )
 
     # The cache must outlive the caller's action on the returned plan;
     # it holds the FULL input (pre-cap) — callers release it via the
     # ``caches`` registry or it leaks one input-sized cache per call.
     if caches is not None:
         caches.append(sorted_df)
-    return sorted_df.mapInPandas(attach, schema=ddl)
+    return out
 
 
 def grouped_topk(

@@ -70,7 +70,9 @@ def pack_shards(
             f"{token_col!r} is {tok_type} — cast explicitly (floor/round) "
             f"so shard boundaries are well-defined"
         )
-    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    from fide_crawler_spark.operators.rank import adaptive_range_partitions
+
+    p = num_partitions or adaptive_range_partitions(docs)
     sorted_df = (
         docs.withColumn(token_col, F.coalesce(F.col(token_col), F.lit(0)))
         .repartitionByRange(p, *order_cols)
