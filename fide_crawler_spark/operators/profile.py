@@ -79,15 +79,27 @@ def fetch_profile_stage(urls: DataFrame, mode: str = "synthetic") -> DataFrame:
     return urls.select("url").mapInPandas(run, schema=PROFILE_SCHEMA)
 
 
-def profiles_for_ids(spark: SparkSession, fide_ids: DataFrame) -> DataFrame:
+def profiles_for_ids(
+    spark: SparkSession, fide_ids: DataFrame, fetch_partitions: int | None = None
+) -> DataFrame:
     """fide_id column → player_data records via the fused stage (the
     `fetch_player_data` surface, data_fetching_processing.py:118-120).
-    URL shape = fixtures.profile_url, built JVM-side."""
+    URL shape = fixtures.profile_url, built JVM-side.
+
+    The URL list is explicitly repartitioned before the Python stage:
+    the stage is CPU-bound PER ROW (render/fetch + parse), but AQE
+    coalesces the upstream distinct's exchange by BYTES — a 15k-id
+    list is a few hundred KB, so the whole fetch ran in one task
+    (observed: the sf0.1 q45 python stage serialized onto one core).
+    An explicit count pins the spread; default = defaultParallelism
+    (every core fetches), the crawl path keeps its own politeness
+    layout."""
     urls = fide_ids.select(
         F.concat(F.lit("https://ratings.fide.com/profile/"),
                  F.col("fide_id").cast("string")).alias("url")
     )
-    return fetch_profile_stage(urls)
+    n = fetch_partitions or spark.sparkContext.defaultParallelism
+    return fetch_profile_stage(urls.repartition(n))
 
 
 def upsert_profiles(table, spark: SparkSession, profiles: DataFrame, **kw) -> int:

@@ -78,12 +78,20 @@ def flagship_last3_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     li, o = load(spark, sf_dir, "lineitem"), load(spark, sf_dir, "orders")
     rev = (F.col("l_extendedprice").cast("decimal(18,4)")
            * (F.lit(1) - F.col("l_discount").cast("decimal(18,4)")))
+    # pre-aggregate lineitem per order BEFORE the join (guide §2.3
+    # "aggregate before you shuffle"): the join then probes one row
+    # per order instead of every line, and COUNT(DISTINCT o_orderkey)
+    # degenerates to COUNT(*) — orderkey is unique on both sides after
+    # the pre-agg, so the planner's two-exchange distinct expansion
+    # disappears.  Decimal partial sums are exact and associative, so
+    # revenue is bit-identical.
+    li_agg = li.groupBy("l_orderkey").agg(F.sum(rev).alias("__rev"))
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
+        li_agg.join(o, li_agg.l_orderkey == o.o_orderkey)
         .groupBy(F.col("o_orderdate").cast("date").alias("order_day"))
         .agg(
-            F.countDistinct("o_orderkey").alias("n_orders"),
-            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("__rev").cast("double").alias("revenue"),
         )
         .orderBy(F.desc("order_day"))
         .limit(3)
@@ -255,13 +263,18 @@ def q5_broadcast_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     o, li = load(spark, sf_dir, "orders"), load(spark, sf_dir, "lineitem")
     rev = (F.col("l_extendedprice").cast("decimal(18,4)")
            * (F.lit(1) - F.col("l_discount").cast("decimal(18,4)")))
+    # same pre-aggregation as the flagship (guide §2.3): revenue per
+    # order first, so the joins probe order-grain rows and the
+    # per-segment COUNT(DISTINCT orderkey) becomes a plain COUNT(*)
+    # (orderkey unique after the pre-agg) — no distinct expansion.
+    li_agg = li.groupBy("l_orderkey").agg(F.sum(rev).alias("__rev"))
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
+        li_agg.join(o, li_agg.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
-            F.countDistinct("o_orderkey").alias("n_orders"),
-            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("__rev").cast("double").alias("revenue"),
         )
         .orderBy("c_mktsegment")
     )
@@ -373,13 +386,24 @@ def q9_window_dedup_keepfirst(spark: SparkSession, sf_dir: str) -> DataFrame:
     (database_management.py:56-71: ROW_NUMBER ... ORDER BY id, DELETE
     rn>1)."""
     li = load(spark, sf_dir, "lineitem")
-    w = Window.partitionBy("l_partkey", "l_suppkey").orderBy(
-        "l_orderkey", "l_linenumber"
-    )
+    # keep-first = MIN(struct(orderkey, linenumber)) per key: struct
+    # comparison is lexicographic, matching the window's ORDER BY, and
+    # only the ordering columns are output — so the row_number window
+    # (full shuffle of every row + two sorts) becomes a hash aggregate
+    # with map-side partials, shuffling one row per (part, supp) per
+    # map partition (guide §2.3).  The keys are NOT NULL in this
+    # schema, so MIN's null-last semantics can't diverge from the
+    # window's null ordering.
+    first = F.min(F.struct("l_orderkey", "l_linenumber")).alias("f")
     return (
-        li.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(first)
+        .select(
+            F.col("f.l_orderkey").alias("l_orderkey"),
+            F.col("f.l_linenumber").alias("l_linenumber"),
+            "l_partkey",
+            "l_suppkey",
+        )
         .orderBy("l_orderkey", "l_linenumber")
     )
 
@@ -1638,7 +1662,13 @@ def q45_player_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("c_custkey").cast("string").alias("fide_id"))
         .distinct()
     )
-    return P.profiles_for_ids(spark, ids).orderBy(
+    # localCheckpoint before the global sort: orderBy's range
+    # partitioner SAMPLES its child, which re-executes the fused
+    # fetch+parse Python stage a second time (measured: sort added
+    # 0.68 s on a 0.55 s stage at sf0.1).  Materializing the bounded
+    # profile table once (size = id list, the operator's existing
+    # fan-in bound) makes the sampling pass read rows, not re-fetch.
+    return P.profiles_for_ids(spark, ids).localCheckpoint().orderBy(
         F.col("fide_id").cast("bigint")
     )
 
@@ -2826,17 +2856,19 @@ def q70_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     the line string — identical output barring 2⁻⁶⁴ collisions, the
     same discipline q54/q24 already carry."""
     docs = load(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    n = F.size(toks)
-    lined = docs.select(
+    # token split hoisted into its own projection (HOF lambdas are
+    # interpreted — an inline split would re-split the text per line)
+    base = docs.select("doc_id", F.split("text", " ").alias("__tk"))
+    tk = F.col("__tk")
+    lined = base.select(
         "doc_id",
         F.array_join(
             F.transform(
                 F.sequence(
-                    F.lit(0), F.ceil(n / F.lit(8.0)).cast("long") - 1
+                    F.lit(0), F.ceil(F.size(tk) / F.lit(8.0)).cast("long") - 1
                 ),
                 lambda i: F.array_join(
-                    F.slice(toks, i * 8 + 1, 8), " "
+                    F.slice(tk, i * 8 + 1, 8), " "
                 ),
             ),
             "\n",
