@@ -94,13 +94,25 @@ def fetch_parse_stage(
     # yields bound per-worker residency to ~chunk × page_spans.
     chunk_rows = max(16, 4096 // max(weight, 1))
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            for lo in range(0, len(pdf), chunk_rows):
-                part = pdf.iloc[lo:lo + chunk_rows]
-                kinds, texts, refs, offs, statuses = [], [], [], [], []
+    # mapInArrow building the FINAL array<struct> span column directly
+    # (guide §4.2): spans leave Python as four flat primitive Arrow
+    # value buffers + one offsets array (ListArray over a StructArray),
+    # not as per-page Python lists inside pandas object columns.  The
+    # r5 form paid twice at realistic page weight: pandas→Arrow
+    # serialized ~10⁸ per-epoch span elements out of object columns,
+    # and a JVM arrays_zip+transform (CodegenFallback — interpreted)
+    # then rebuilt every one of those elements as a struct.  Both costs
+    # disappear; the JVM receives the contract shape ready-made.
+    def run(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
+        import pyarrow as pa
+
+        span_names = ["kind", "text", "media_ref", "offset"]
+        for rb in batches:
+            for lo in range(0, rb.num_rows, chunk_rows):
+                part = rb.slice(lo, chunk_rows)
+                urls = part.column(0).to_pylist()
                 if mode == "synthetic":
-                    pages = [render_page(u, weight) for u in part["url"]]
+                    pages = [render_page(u, weight) for u in urls]
                     page_status = ["fetched"] * len(pages)
                 elif mode == "flaky":
                     # deterministic failure injection for the retry-path
@@ -110,8 +122,9 @@ def fetch_parse_stage(
                     # old_scripts/fide-games-scraper-public.py:48)
                     import zlib
 
+                    retry = part.column("retry_count").to_pylist()
                     pages, page_status = [], []
-                    for u, rc in zip(part["url"], part["retry_count"]):
+                    for u, rc in zip(urls, retry):
                         if zlib.crc32(u.encode()) % 3 == 0 and int(rc) == 0:
                             pages.append("")
                             page_status.append("failed")
@@ -119,45 +132,59 @@ def fetch_parse_stage(
                             pages.append(render_page(u, weight))
                             page_status.append("fetched")
                 else:
-                    fetched = _http_fetch_batch(part["url"])
-                    pages, page_status = fetched["page"], list(fetched["status"])
+                    fetched = _http_fetch_batch(pd.Series(urls))
+                    pages, page_status = list(fetched["page"]), list(fetched["status"])
+                kinds: list = []
+                texts: list = []
+                refs: list = []
+                offs: list = []
+                offsets = [0]
+                statuses = []
                 for page, st in zip(pages, page_status):
-                    if st != "fetched":
-                        kinds.append([]); texts.append([]); refs.append([]); offs.append([])
+                    if st == "fetched":
+                        spans = parse_page(page)
+                        if spans:
+                            k, t, r, o = zip(*spans)
+                            kinds.extend(k)
+                            texts.extend(t)
+                            refs.extend(r)
+                            offs.extend(o)
+                        statuses.append("fetched")
+                    else:
                         statuses.append(st)
-                        continue
-                    spans = parse_page(page)
-                    kinds.append([s[0] for s in spans])
-                    texts.append([s[1] for s in spans])
-                    refs.append([s[2] for s in spans])
-                    offs.append([s[3] for s in spans])
-                    statuses.append("fetched")
-                out = part.rename(columns={"url": "doc_id"}).copy()
-                out["status"] = statuses
-                out["_kinds"], out["_texts"] = kinds, texts
-                out["_refs"], out["_offs"] = refs, offs
-                yield out
+                    offsets.append(len(kinds))
+                values = pa.StructArray.from_arrays(
+                    [
+                        pa.array(kinds, pa.string()),
+                        pa.array(texts, pa.string()),
+                        pa.array(refs, pa.string()),
+                        pa.array(offs, pa.int32()),
+                    ],
+                    names=span_names,
+                )
+                spans_arr = pa.ListArray.from_arrays(
+                    pa.array(offsets, pa.int32()), values
+                )
+                cols = (
+                    [part.column(0)]
+                    + [part.column(c) for c in FUSED_META_COLS]
+                    + [pa.array(statuses, pa.string()), spans_arr]
+                )
+                yield pa.RecordBatch.from_arrays(
+                    cols,
+                    ["doc_id", *FUSED_META_COLS, "status", "spans"],
+                )
 
     in_schema = {f.name: f.dataType.simpleString() for f in batch.schema.fields}
     meta_ddl = ", ".join(f"`{c}` {in_schema[c]}" for c in FUSED_META_COLS)
-    raw = batch.select("url", *FUSED_META_COLS).mapInPandas(
+    return batch.select("url", *FUSED_META_COLS).mapInArrow(
         run,
         schema=(
             f"doc_id string, {meta_ddl}, status string, "
-            "_kinds array<string>, _texts array<string>, "
-            "_refs array<string>, _offs array<int>"
+            "spans array<struct<kind:string,text:string,"
+            "media_ref:string,offset:int>>"
         ),
     )
-    spans = F.transform(
-        F.arrays_zip("_kinds", "_texts", "_refs", "_offs"),
-        lambda s: F.struct(
-            s["_kinds"].alias("kind"),
-            s["_texts"].alias("text"),
-            s["_refs"].alias("media_ref"),
-            s["_offs"].alias("offset"),
-        ),
-    )
-    return raw.withColumn("spans", spans).drop("_kinds", "_texts", "_refs", "_offs")
 
 
 def explode_spans(docs: DataFrame) -> DataFrame:

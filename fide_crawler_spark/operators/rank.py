@@ -233,26 +233,20 @@ def dequeue_rank(
         .persist()
     )
 
-    def count_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        counts: dict[tuple[int, str], int] = {}
-        for pdf in batches:
-            for (pid, gk), n in pdf.groupby([_PID, _GKEY], sort=False).size().items():
-                counts[(pid, gk)] = counts.get((pid, gk), 0) + int(n)
-        if counts:
-            yield pd.DataFrame(
-                [(pid, gk, n) for (pid, gk), n in counts.items()],
-                columns=["pid", "gkey", "n"],
-            )
-
     budget = budget_per_host
     w_host = (
         Window.partitionBy("gkey").orderBy("pid")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     w_host_all = Window.partitionBy("gkey")
+    # pass 1: per-(partition, host) counts as a plain partial-combined
+    # JVM aggregate — the r5 form ran a mapInPandas tally, a full
+    # Python round-trip of every frontier row per epoch
     pref = (
-        sorted_df.select(_PID, _GKEY)
-        .mapInPandas(count_partition, schema="pid int, gkey string, n long")
+        sorted_df.groupBy(
+            F.col(_PID).alias("pid"), F.col(_GKEY).alias("gkey")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
         .withColumn("off", F.coalesce(F.sum("n").over(w_host), F.lit(0)))
         .withColumn("tot", F.sum("n").over(w_host_all))
         .withColumn(
@@ -325,19 +319,29 @@ def dequeue_rank(
             if not len(pdf):
                 continue
             pid = int(pdf[_PID].iloc[0])
-            keep_idx, ranks = [], []
-            for i, gk in enumerate(pdf[_GKEY]):
-                pos = local_host.get(gk, 0)
-                local_host[gk] = pos + 1
-                off = h_off.get((pid, gk))
-                if off is None:
-                    off = bgt if h_dead.get(gk, pid + 1) <= pid else 0
-                if off + pos < bgt:
-                    keep_idx.append(i)
-                    survivors_seen += 1
-                    ranks.append(g_off[pid] + survivors_seen)
-            out = pdf.iloc[keep_idx].drop(columns=[_PID, _GKEY]).copy()
-            out[rank_col] = ranks
+            gk = pdf[_GKEY]
+            # vectorized within-host position (guide §4.2 — the r5
+            # form walked every row in a Python loop): cumcount per
+            # host within the batch + the carried-in count from
+            # earlier batches of this task
+            pos = gk.groupby(gk, sort=False).cumcount()
+            if local_host:
+                pos = pos + gk.map(local_host).fillna(0).astype("int64")
+            counts = gk.value_counts()
+            for k, v in counts.items():
+                local_host[k] = local_host.get(k, 0) + int(v)
+            off_map = {
+                k: h_off.get(
+                    (pid, k), bgt if h_dead.get(k, pid + 1) <= pid else 0
+                )
+                for k in counts.index
+            }
+            keep = (gk.map(off_map) + pos) < bgt
+            out = pdf[keep.values].drop(columns=[_PID, _GKEY]).copy()
+            out[rank_col] = (
+                g_off[pid] + survivors_seen + keep.cumsum()[keep.values]
+            ).astype("int64").values
+            survivors_seen += int(keep.sum())
             yield out
 
     if caches is not None:

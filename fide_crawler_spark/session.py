@@ -55,6 +55,10 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # zstd: measured on the 20k-url span batch — write 6.6 s vs
+        # snappy's 7.6 s AND 95 MB vs 174 MB on disk (guide §6); every
+        # downstream snapshot read scans ~45% fewer bytes
+        .config("spark.sql.parquet.compression.codec", "zstd")
         # InferFiltersFromGenerate synthesizes size(e)>0 / isnotnull(e)
         # from every explode(e) and predicate pushdown then substitutes
         # the FULL generator-input expression into a scan-level filter —
