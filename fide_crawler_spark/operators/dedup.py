@@ -545,18 +545,34 @@ def duplicated_window_stats(
         .filter(F.col("occ") >= 2)
         .select("h")
     )
-    covered = (
-        flat.join(dup_h, "h", "left_semi")
-        .select(
-            "doc",
-            F.explode(
-                F.sequence(F.col("start"), F.col("start") + (w - 1))
-            ).alias("pos"),
-        )
-        .distinct()
+    # dup_tokens = |union of [start, start+w-1] intervals| per doc.
+    # The r5 form exploded every covered position (a second W× row
+    # fan-out) and pushed them through distinct + count — two full
+    # Exchanges of w·|dup windows| rows.  Equal-length intervals
+    # sorted by start have non-decreasing ends, so the union size is
+    # a linear fold over the sorted starts: each window contributes
+    # min(w, end - previous_end) new tokens.  One groupBy(doc) whose
+    # shuffle carries only the (doc, start) pairs, then a per-doc
+    # array fold (memory bounded by doc window count — the same bound
+    # the reassembly operators already hold).
+    interval_union = F.aggregate(
+        F.sort_array(F.collect_list(F.col("start").cast("long"))),
+        F.struct(
+            F.lit(-1).cast("long").alias("e"), F.lit(0).cast("long").alias("t")
+        ),
+        lambda acc, s: F.struct(
+            (s + F.lit(w - 1)).alias("e"),
+            (
+                acc["t"]
+                + F.least(F.lit(int(w)).cast("long"), s + F.lit(w - 1) - acc["e"])
+            ).alias("t"),
+        ),
+        lambda acc: acc["t"],
     )
-    dup_counts = covered.groupBy("doc").agg(
-        F.count(F.lit(1)).alias("dup_tokens")
+    dup_counts = (
+        flat.join(dup_h, "h", "left_semi")
+        .groupBy("doc")
+        .agg(interval_union.alias("dup_tokens"))
     )
     return (
         base.select("doc", F.size("t").cast("long").alias("n_tokens"))

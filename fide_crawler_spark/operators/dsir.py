@@ -80,7 +80,12 @@ def dsir_weights(
     ).select(
         doc_id_col,
         "is_target",
-        (_feature_hash(F.col("g"), portable) % F.lit(n_buckets)).alias("b"),
+        # pmod, not %: Spark's % keeps the dividend's sign, so the
+        # xxhash64 (portable=False) path would scatter features over
+        # (-B, B) — ~2B-1 buckets — mis-normalizing the add-k smoothing
+        # (ADVICE r5).  md5h is non-negative, so the oracled
+        # portable=True path is unchanged.
+        F.pmod(_feature_hash(F.col("g"), portable), F.lit(n_buckets)).alias("b"),
     )
     # one pass: per-bucket raw count + conditional target count
     cnts = feats.groupBy("b").agg(

@@ -60,6 +60,12 @@ def pagerank(
         .persist()
     )
     n = nodes.count()
+    if n == 0:  # empty edge set: no nodes, no ranks (ADVICE r5 —
+        # scale // n would raise ZeroDivisionError below)
+        nodes.unpersist()
+        return nodes.select(
+            "node", F.lit(0).cast("bigint").alias("rank")
+        )
     outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
     # pre-fold the damping numerator into the edge table so each
     # iteration is join + groupBy only
@@ -93,7 +99,9 @@ def pagerank(
         # durability requirements use spark.sparkContext.setCheckpointDir
         # + .checkpoint() instead.
         ranks = ranks.localCheckpoint(eager=True)
-    if iters > 0:
-        nodes.unpersist()
-        ed.unpersist()
+    # unconditional (ADVICE r5: iters=0 leaked both caches).  Safe even
+    # when ranks still references nodes lazily (iters=0): unpersist
+    # only drops the cached copy, the plan recomputes on consumption.
+    nodes.unpersist()
+    ed.unpersist()
     return ranks.withColumnRenamed("r", "rank")

@@ -174,10 +174,19 @@ def weighted_sample(
         )
     scale = 1_000_000 if fractional else 1
     if fractional:
+        # NaN weights are zeroed BEFORE either use (ADVICE r5): a raw
+        # NaN silently dropped out of the fixed-point mean (floor(NaN)
+        # is null, skipped by SUM) while making its own row's
+        # p = least(1.0, NaN) = 1.0 — always kept.  Zero = the
+        # negative-weight contract's "never kept" limit.
+        w_dbl = F.when(
+            F.isnan(F.col(weight_col)), F.lit(0.0)
+        ).otherwise(F.col(weight_col).cast("double"))
         w_fixed = F.floor(
-            F.col(weight_col).cast("double") * F.lit(float(scale)) + F.lit(0.5)
+            w_dbl * F.lit(float(scale)) + F.lit(0.5)
         ).cast("bigint")
     else:  # exact: no double round-trip for integral weights
+        w_dbl = F.col(weight_col).cast("double")
         w_fixed = F.col(weight_col).cast("bigint")
     m = docs.agg(
         F.sum(w_fixed).alias("__s"),
@@ -193,8 +202,7 @@ def weighted_sample(
         F.col("__mean") > 0,
         F.least(
             F.lit(1.0),
-            (F.lit(rate) * F.col(weight_col).cast("double"))
-            / F.col("__mean"),
+            (F.lit(rate) * w_dbl) / F.col("__mean"),
         ),
     ).otherwise(F.lit(min(1.0, rate)))  # zero-mean corpus → uniform
     h = md5h(F.concat(F.col(key_col).cast("string"), F.lit(salt)))

@@ -186,7 +186,13 @@ def ann_topk_ivf(
     )
     q = np.asarray(query_vec, dtype=np.float64)
     qn = np.linalg.norm(q) or 1.0
-    probe_cells = np.argsort(-(cunit @ (q / qn)))[:n_probe].tolist()
+    # stable sort: exact dot-product ties (duplicate embeddings seeding
+    # identical centroids) break by lowest cell index, matching the q32
+    # oracle's ORDER BY dot DESC, cell ASC (ADVICE r5 — plain argsort
+    # is an unstable quicksort)
+    probe_cells = np.argsort(
+        -(cunit @ (q / qn)), kind="stable"
+    )[:n_probe].tolist()
     candidates = assigned.filter(F.col("cell").isin(probe_cells)).drop("cell")
     return cosine_topk(candidates, query_vec, k, id_col, vec_col)
 

@@ -104,7 +104,13 @@ def sqlite_export(
     if os.path.exists(tmp):
         os.remove(tmp)
     try:
-        with sqlite3.connect(tmp) as con:
+        # contextlib.closing: sqlite3's own context manager only scopes
+        # the transaction, never closes the handle — the file must be
+        # closed BEFORE os.replace for the atomic-rename story to hold
+        # off-POSIX (ADVICE r5)
+        import contextlib
+
+        with contextlib.closing(sqlite3.connect(tmp)) as con, con:
             for name, df in tables.items():
                 # limit+1 probe: counts the guard without a full count()
                 rows = df.limit(max_rows_per_table + 1).collect()

@@ -253,3 +253,38 @@ def test_pagerank_feeds_priority_queue(spark):
     fr = generate_frontier(seeds, "2024-01-01", "2024-02-01")
     first = fr.orderBy(*priority_order()).first()
     assert first["fide_id"] == "200"  # the hub host crawls first
+
+
+def test_dsir_xxhash_buckets_are_nonnegative(spark):
+    """ADVICE r5: the portable=False path used %, whose Spark semantics
+    keep the dividend's sign — xxhash64 features landed in negative
+    buckets, mis-normalizing the add-k smoothing.  pmod pins [0, B)."""
+    from fide_crawler_spark.operators.dsir import dsir_weights
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "de",
+          f"tok{i} tok{i+1} tok{i+2} shared words here") for i in range(40)],
+        ["doc_id", "lang", "text"],
+    )
+    out = dsir_weights(
+        docs, F.col("lang") == "en", n_buckets=16, portable=False
+    )
+    # every doc scores (a negative bucket would desync the lr join and
+    # drop rows) and the internal bucket expression stays in range
+    assert out.count() == 40
+    from fide_crawler_spark.operators.dsir import _feature_hash
+
+    b = (
+        docs.select(
+            F.pmod(_feature_hash(F.col("text"), False), F.lit(16)).alias("b")
+        )
+        .agg(F.min("b").alias("lo"), F.max("b").alias("hi"))
+        .first()
+    )
+    assert 0 <= b["lo"] and b["hi"] < 16
+
+
+def test_pagerank_empty_edges(spark):
+    """ADVICE r5: scale // n with n=0 raised ZeroDivisionError."""
+    e = spark.createDataFrame([], "src string, dst string")
+    assert pagerank(e, iters=3).count() == 0

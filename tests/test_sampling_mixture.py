@@ -209,3 +209,22 @@ def test_weighted_sample_rejects_decimal_weights(spark):
     )
     with pytest.raises(TypeError, match="integral or float/double"):
         SA.weighted_sample(docs, "score", 0.5)
+
+
+def test_weighted_sample_nan_weight_never_kept(spark):
+    """ADVICE r5: a per-row NaN weight made p = least(1.0, NaN) = 1.0
+    (NaN sorts greatest) — the row was ALWAYS kept while silently
+    dropping out of the fixed-point mean.  NaN now zeroes the weight:
+    never kept, mean unchanged vs the zero-weight corpus."""
+    rows = [(i, float(i % 7 + 1)) for i in range(200)] + [(999, float("nan"))]
+    docs = spark.createDataFrame(rows, ["doc_id", "w"])
+    kept = {r["doc_id"] for r in SA.weighted_sample(docs, "w", 0.3).collect()}
+    assert 999 not in kept
+    zero = spark.createDataFrame(
+        [(i, float(i % 7 + 1)) for i in range(200)] + [(999, 0.0)],
+        ["doc_id", "w"],
+    )
+    kept_zero = {
+        r["doc_id"] for r in SA.weighted_sample(zero, "w", 0.3).collect()
+    }
+    assert kept == kept_zero
