@@ -68,13 +68,20 @@ def test_no_unpartitioned_window_in_catalog_plans(spark, sf_dir):
     from fide_crawler_spark.plans import formatted_plan
 
     # q13/q50 must have NO window at all (cross-join-of-one-agg /
-    # mapInPandas two-pass replace it); q9's window must be keyed —
-    # an unpartitioned one would plan Exchange SinglePartition
-    for name in ("q13_value_counts_normalized", "q50_shard_packing"):
+    # two-pass layouts replace it); q9 (r6) replaced its keyed window
+    # with a MIN(struct) aggregate — partial-combined, no window, and
+    # still no single-partition collapse
+    for name in (
+        "q13_value_counts_normalized",
+        "q50_shard_packing",
+        "q9_window_dedup_keepfirst",
+    ):
         plan = formatted_plan(QUERIES[name](spark, sf_dir))
         assert "Window" not in plan, (name, plan[:2000])
+    # q9's aggregate must not collapse to one task (the global-agg
+    # one-row SinglePartition in q13 is fine — it carries one row)
     plan9 = formatted_plan(QUERIES["q9_window_dedup_keepfirst"](spark, sf_dir))
-    assert "Window" in plan9 and "SinglePartition" not in plan9
+    assert "SinglePartition" not in plan9, plan9[:2000]
 
 
 def test_range_join_avoids_nested_loop(spark, sf_dir):
