@@ -140,12 +140,23 @@ def kmeans_cells(
         refine_src = refine_src.localCheckpoint(eager=False)
     for _ in range(max(0, lloyd_iters)):
         assigned = refine_src.mapInPandas(assigner(cunit), schema=schema)
+        # nrm computed ONCE per row as a sibling output of the explode,
+        # then the per-dimension division happens on exploded rows: a
+        # `transform(vec, x -> x / nrm)` with nrm captured in the
+        # lambda re-evaluates the whole-vector norm PER ELEMENT
+        # (lambdas are interpreted — O(d²) per vector), and hoisting
+        # nrm into its own projection doesn't survive the optimizer
+        # here (referenced once → CollapseProject inlines it back).
         nrm = F.greatest(_norm(F.col(vec_col)), F.lit(1e-12))
-        unit_vec = F.transform(
-            F.col(vec_col), lambda x: x.cast("double") / nrm
-        )
         means = (
-            assigned.select("cell", F.posexplode(unit_vec).alias("dim", "x"))
+            assigned.select(
+                "cell",
+                nrm.alias("__nrm"),
+                F.posexplode(
+                    F.transform(F.col(vec_col), lambda x: x.cast("double"))
+                ).alias("dim", "x"),
+            )
+            .select("cell", "dim", (F.col("x") / F.col("__nrm")).alias("x"))
             .groupBy("cell", "dim")
             .agg(F.avg("x").alias("mu"))
             .collect()
@@ -206,20 +217,36 @@ def quantize_embeddings(
 
     q_i = floor((x_i - min) / scale + 0.5) ∈ [0, 255] with
     scale = (max - min) / 255; constant vectors quantize to all-zeros
-    with scale 0.  Entirely JVM higher-order expressions — one
-    codegen'd projection, no shuffle, composes with any partitioning.
+    with scale 0.  Entirely JVM higher-order expressions — no shuffle,
+    composes with any partitioning.
     Output: (id, n_dims, zero_point, scale, qvals array<int>).
+
+    min/scale are hoisted into their own projection: HOF lambdas are
+    CodegenFallback (interpreted, no common-subexpression
+    elimination), so an array_min/array_max captured inside the
+    quantize lambda re-scans the whole vector PER ELEMENT — O(d²) per
+    vector.  As attributes they are O(1) lambda references (each is
+    used ≥2× downstream, so CollapseProject keeps the projection).
     """
-    xs = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    mn, mx = F.array_min(xs), F.array_max(xs)
-    scale = (mx - mn) / F.lit(255.0)
+    base = emb.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__xs"),
+    )
+    xs = F.col("__xs")
+    st = base.select(
+        F.col(id_col),
+        xs,
+        F.array_min(xs).alias("__mn"),
+        ((F.array_max(xs) - F.array_min(xs)) / F.lit(255.0)).alias("__scale"),
+    )
+    mn, scale = F.col("__mn"), F.col("__scale")
     q = F.when(
         scale > 0,
         F.transform(
             xs, lambda x: F.floor((x - mn) / scale + 0.5).cast("int")
         ),
     ).otherwise(F.transform(xs, lambda x: F.lit(0)))
-    return emb.select(
+    return st.select(
         F.col(id_col),
         F.size(xs).cast("int").alias("n_dims"),
         mn.alias("zero_point"),

@@ -133,9 +133,14 @@ def corpus_ngram_topk(docs: DataFrame, n: int = 2, k: int = 20) -> DataFrame:
     itself so the top-k is total-ordered.  A 64-bit gram collision
     would merge two counts at P≈2⁻⁶⁴ per pair — negligible against the
     approximation already inherent in vocabulary sweeps."""
-    from fide_crawler_spark.operators.dedup import shingles_col
+    from fide_crawler_spark.operators.dedup import shingle_docs
 
-    grams = docs.select(F.explode(shingles_col(n=n)).alias("gram"))
+    # shingle_docs hoists the token split into its own projection — the
+    # inline shingles_col form re-splits the text once PER SHINGLE
+    # (HOF lambdas are interpreted, no subexpression elimination).
+    grams = shingle_docs(docs, n=n, out_col="__sh").select(
+        F.explode("__sh").alias("gram")
+    )
     return (
         grams.groupBy(F.xxhash64("gram").alias("__gh"))
         .agg(F.min("gram").alias("gram"), F.count(F.lit(1)).alias("doc_freq"))
