@@ -52,7 +52,18 @@ def pagerank(
 ) -> DataFrame:
     """(node, rank) after ``iters`` integer-PageRank rounds over the
     distinct edge set.  rank is BIGINT micro-units of ``scale``."""
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    # The distinct edge set feeds BOTH derived tables (nodes and the
+    # outdeg-folded ed): unpersisted, its subtree (upstream joins +
+    # the 2|E|-row distinct) runs twice — once for nodes.count() and
+    # again when ed materializes.  Lazy persist: nodes.count() is the
+    # job that fills the cache.  Intra-invocation only (unpersisted on
+    # return); sf0.1 A/B best-of-5: 6.93 → 5.69 s with a far tighter
+    # spread, bit-identical ranks.
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .persist()
+    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -63,6 +74,7 @@ def pagerank(
     if n == 0:  # empty edge set: no nodes, no ranks (ADVICE r5 —
         # scale // n would raise ZeroDivisionError below)
         nodes.unpersist()
+        e.unpersist()
         return nodes.select(
             "node", F.lit(0).cast("bigint").alias("rank")
         )
@@ -108,4 +120,5 @@ def pagerank(
     # only drops the cached copy, the plan recomputes on consumption.
     nodes.unpersist()
     ed.unpersist()
+    e.unpersist()
     return ranks.withColumnRenamed("r", "rank")
