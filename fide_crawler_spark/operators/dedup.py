@@ -615,9 +615,17 @@ def strip_duplicated_windows(
     quality evidence in their ablations).  Output: docs' columns with
     ``text`` replaced and ``n_dropped_tokens`` appended.
 
-    The per-doc covered-position set is collected as an array bounded
-    by the doc's own token count — the same order of memory as the doc
-    text it sits next to."""
+    Coverage is carried as MERGED [lo, hi] intervals, not an exploded
+    position set (the same sorted-starts interval-union argument as
+    ``duplicated_window_stats``: equal-length windows sorted by start
+    have non-decreasing ends, so the union folds left-to-right —
+    extend the open run while start ≤ prev_hi + 1, else open a new
+    one).  The earlier form exploded every covered position (a second
+    W× row fan-out) through distinct + collect_set — two Exchanges of
+    w·|dup windows| rows — then probed per token with an O(|cov|)
+    array_contains; intervals shrink the shuffle to the (doc, start)
+    pairs and the per-token probe to O(#runs), with the per-doc array
+    bounded by the doc's own window count."""
     base, flat = _window_flat(docs, w, id_col, text_col)
     dup_h = (
         flat.groupBy("h")
@@ -625,26 +633,48 @@ def strip_duplicated_windows(
         .filter(F.col("occ") >= 2)
         .select("h")
     )
+    _iv_t = "array<struct<lo:int,hi:int>>"
+    interval_union = F.aggregate(
+        F.sort_array(F.collect_list(F.col("start"))),
+        F.expr(f"CAST(array() AS {_iv_t})"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0) & (s <= F.element_at(acc, -1)["hi"] + 1),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(
+                    F.struct(
+                        F.element_at(acc, -1)["lo"].alias("lo"),
+                        (s + F.lit(w - 1)).cast("int").alias("hi"),
+                    )
+                ),
+            ),
+        ).otherwise(
+            F.concat(
+                acc,
+                F.array(
+                    F.struct(
+                        s.cast("int").alias("lo"),
+                        (s + F.lit(w - 1)).cast("int").alias("hi"),
+                    )
+                ),
+            )
+        ),
+    )
     cov_arr = (
         flat.join(dup_h, "h", "left_semi")
-        .select(
-            "doc",
-            F.explode(
-                F.sequence(F.col("start"), F.col("start") + (w - 1))
-            ).alias("pos"),
-        )
-        .distinct()
         .groupBy("doc")
-        .agg(F.collect_set("pos").alias("cov"))
+        .agg(interval_union.alias("cov"))
     )
     joined = docs.join(
         cov_arr.withColumnRenamed("doc", id_col), id_col, "left"
     ).withColumn(
-        "cov", F.coalesce("cov", F.expr("CAST(array() AS array<int>)"))
+        "cov", F.coalesce("cov", F.expr(f"CAST(array() AS {_iv_t})"))
     )
     kept = F.filter(
         F.split(F.col(text_col), " "),
-        lambda tok, i: ~F.array_contains(F.col("cov"), i),
+        lambda tok, i: ~F.exists(
+            F.col("cov"), lambda v: (i >= v["lo"]) & (i <= v["hi"])
+        ),
     )
     return (
         joined.withColumn("n_dropped_tokens",

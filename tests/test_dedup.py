@@ -535,3 +535,54 @@ def test_strip_duplicated_windows(spark):
         for r in D.duplicated_window_stats(docs, w=8).collect()
     }
     assert {k: v[1] for k, v in got.items()} == stats
+
+
+def test_strip_duplicated_windows_multi_run_intervals(spark):
+    """Pins the interval-union strip form (merged [lo,hi] coverage
+    runs) against a brute-force python position-set replay on shapes
+    the single-passage test never exercises: several DISJOINT
+    duplicated runs per doc, ADJACENT runs that merge into one
+    contiguous cover, and overlapping plants."""
+    import random
+
+    w = 4
+    rng = random.Random(7)
+    VOCAB = [f"t{i}" for i in range(200)]  # wide vocab: no accidental dups
+    p1 = [f"p{i}" for i in range(w)]       # two shared passages
+    p2 = [f"q{i}" for i in range(w + 2)]   # longer than w: a 3-window run
+    rows = []
+    for i in range(24):
+        toks = [rng.choice(VOCAB) for _ in range(30)]
+        if i % 3 == 0:  # p1 at the front AND p2 later: disjoint runs
+            toks[0:w] = p1
+            toks[12:12 + len(p2)] = p2
+        if i % 3 == 1:  # p1 twice back-to-back: adjacent runs merge
+            toks[5:5 + w] = p1
+            toks[5 + w:5 + 2 * w] = p1
+        rows.append((i, " ".join(toks)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    occ: dict = {}
+    for _id, text in rows:
+        toks = text.split()
+        for s in range(len(toks) - w + 1):
+            win = " ".join(toks[s:s + w])
+            occ[win] = occ.get(win, 0) + 1
+    expect = {}
+    for _id, text in rows:
+        toks = text.split()
+        cov: set = set()
+        for s in range(len(toks) - w + 1):
+            if occ[" ".join(toks[s:s + w])] >= 2:
+                cov.update(range(s, s + w))
+        kept = [t for i, t in enumerate(toks) if i not in cov]
+        expect[_id] = (" ".join(kept), len(cov))
+
+    got = {
+        r["doc_id"]: (r["text"], r["n_dropped_tokens"])
+        for r in D.strip_duplicated_windows(docs, w=w).collect()
+    }
+    assert got == expect
+    # both multi-run shapes actually stripped something
+    assert any(v[1] >= 2 * w for k, v in expect.items() if k % 3 == 0)
+    assert any(v[1] >= 2 * w for k, v in expect.items() if k % 3 == 1)
