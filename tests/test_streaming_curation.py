@@ -294,3 +294,51 @@ def test_streamed_sequences_continue_global_token_axis(spark, tmp_path):
     assert got == want
     # batches really contributed distinct axis regions
     assert len({r[2] for r in got}) > 1
+
+
+def test_crash_window_every_cut_point(spark, tmp_path):
+    """VERDICT #6-era protocol claim, adversarially: the commit
+    protocol (five sinks written, THEN the atomic marker) must heal a
+    death between EVERY adjacent pair of state writes — linefreq →
+    corpus → bands → shards → sequences → marker — with replay
+    converging byte-identically to the uninterrupted output.  Each cut
+    is simulated by removing the marker plus every sink partition the
+    crashed process would not yet have written, and (to model a
+    half-written next sink) planting a junk file in the first missing
+    partition dir — mode("overwrite") must clobber it."""
+    SINKS = ["linefreq", "corpus", "bands", "shards", "sequences"]
+    params = dict(PARAMS, seq_len=8)
+
+    def snapshot(state):
+        out = {}
+        for sub in SINKS:
+            df = spark.read.parquet(os.path.join(state, sub))
+            out[sub] = sorted(tuple(r) for r in df.collect())
+        return out
+
+    # uninterrupted reference run (batches 0 and 1)
+    ref_state = str(tmp_path / "ref")
+    ref = make_curation_processor(spark, ref_state, **params)
+    ref(_df(spark, BATCHES[0]), 0)
+    ref(_df(spark, BATCHES[1]), 1)
+    want = snapshot(ref_state)
+
+    for cut in range(len(SINKS) + 1):  # died after `cut` sink writes
+        state = str(tmp_path / f"cut{cut}")
+        proc = make_curation_processor(spark, state, **params)
+        proc(_df(spark, BATCHES[0]), 0)
+        proc(_df(spark, BATCHES[1]), 1)
+        # rewind batch 1 to the crash window: no marker, sinks >= cut
+        # missing, the next sink dir holding half-written junk
+        os.remove(os.path.join(state, "_commits", "batch-1.json"))
+        for sub in SINKS[cut:]:
+            part = os.path.join(state, sub, "batch_id=1")
+            if os.path.exists(part):
+                shutil.rmtree(part)
+        if cut < len(SINKS):
+            junk = os.path.join(state, SINKS[cut], "batch_id=1")
+            os.makedirs(junk, exist_ok=True)
+            with open(os.path.join(junk, "part-junk.parquet"), "w") as f:
+                f.write("not parquet")
+        proc(_df(spark, BATCHES[1]), 1)  # replay heals
+        assert snapshot(state) == want, f"cut after {cut} sink writes"
